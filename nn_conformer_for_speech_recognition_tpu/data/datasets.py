@@ -1,0 +1,349 @@
+"""Manifest-based datasets with length-bucketed batching.
+
+Replaces the reference's whole-dataset-in-RAM preprocessing with CSV mel
+caches and global-``max_len`` zero padding
+(`lib/standard/speechcommands.py:60-197`) by a manifest pipeline:
+
+  * a *manifest* is a TSV of ``wav_path\ttranscript`` lines (empty transcript
+    for the unlabeled NST split — the reference's 'pretrain' U-split,
+    `speechcommands.py:253-267`);
+  * batches carry **raw padded audio** + lengths + token targets; log-mel
+    featurization runs on-device inside the jitted train step
+    (`ops/features.py`), so the reference's 125-clips/s host loop
+    (`main.ipynb` cell 33) disappears from the critical path;
+  * *length bucketing* replaces global max-len padding: utterances are
+    grouped into buckets and padded only to their bucket's boundary, so the
+    pad-FLOP waste the reference pays (every 1s clip padded to the dataset
+    max) is bounded by the bucket granularity.  A small fixed set of bucket
+    shapes also bounds XLA recompilation.
+  * NST dataset mixing (`speechcommands.py:211-226` ``mix_datasets``) becomes
+    a manifest merge: supervised manifest + pseudo-labeled U manifest.
+
+Dataset-layout builders are provided for SpeechCommands directories
+(label/*.wav with speaker-based splits, `speechcommands.py:253-267`) and
+LibriSpeech directories (spk/chap/*.trans.txt).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nn_conformer_for_speech_recognition_tpu.data.audio import read_wav
+
+
+@dataclasses.dataclass
+class Utterance:
+    audio_path: str
+    transcript: str  # "" for unlabeled
+
+    @property
+    def labeled(self) -> bool:
+        return self.transcript != ""
+
+
+def load_manifest(path: str) -> List[Utterance]:
+    utts = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            utts.append(Utterance(parts[0], parts[1] if len(parts) > 1 else ""))
+    return utts
+
+
+def save_manifest(path: str, utts: Sequence[Utterance]) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(f"{u.audio_path}\t{u.transcript}" for u in utts))
+
+
+# ---------------------------------------------------------------------------
+# Batching
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Batch:
+    """Host-side batch; all arrays static-shaped for jit."""
+
+    audio: np.ndarray  # (B, S) float32, zero padded
+    audio_lengths: np.ndarray  # (B,) int32; 0 for batch-padding rows
+    targets: np.ndarray  # (B, L) int32, padded with pad_id
+    target_lengths: np.ndarray  # (B,) int32
+    # indices back into the dataset (for pseudo-label bookkeeping)
+    indices: np.ndarray  # (B,) int64; -1 for batch-padding rows
+
+    @property
+    def size(self) -> int:
+        return int((self.indices >= 0).sum())
+
+
+class BucketedDataset:
+    """In-memory audio dataset with length-bucketed static-shape batches.
+
+    Audio is memoised after first read (SpeechCommands-scale corpora fit in
+    host RAM; larger corpora should stream via ``cache_audio=False``).
+    """
+
+    def __init__(
+        self,
+        utterances: Sequence[Utterance],
+        vocab,
+        batch_size: int,
+        sample_rate: int = 16000,
+        bucket_boundaries: Sequence[int] = (),
+        max_samples: Optional[int] = None,
+        max_target_len: int = 32,
+        cache_audio: bool = True,
+        drop_untolerable: bool = False,
+        unk_tol: float = 0.3,
+    ):
+        self.vocab = vocab
+        self.batch_size = batch_size
+        self.sample_rate = sample_rate
+        self.max_target_len = max_target_len
+        self.cache_audio = cache_audio
+        self._cache: Dict[int, np.ndarray] = {}
+
+        self.utterances: List[Utterance] = []
+        for u in utterances:
+            if (
+                drop_untolerable
+                and u.labeled
+                and hasattr(vocab, "is_tolerable")
+                and not vocab.is_tolerable(u.transcript, unk_tol)
+            ):
+                continue  # unk-ratio filter (`wordpiecemodel.py:112-124`)
+            self.utterances.append(u)
+
+        self._lengths = np.array(
+            [self._audio_len(i) for i in range(len(self.utterances))], np.int64
+        )
+        if max_samples is not None:
+            keep = self._lengths <= max_samples  # `librilight.py:136-148` filter
+            self.utterances = [u for u, k in zip(self.utterances, keep) if k]
+            self._lengths = self._lengths[keep]
+
+        if not bucket_boundaries:
+            hi = int(self._lengths.max()) if len(self._lengths) else sample_rate
+            bucket_boundaries = [hi]
+        self.bucket_boundaries = sorted(int(b) for b in bucket_boundaries)
+        if len(self._lengths) and self.bucket_boundaries[-1] < self._lengths.max():
+            self.bucket_boundaries.append(int(self._lengths.max()))
+        self._bucket_of = np.searchsorted(
+            np.asarray(self.bucket_boundaries), self._lengths
+        )
+
+    def _audio_len(self, i: int) -> int:
+        return len(self._audio(i))
+
+    def _audio(self, i: int) -> np.ndarray:
+        if i in self._cache:
+            return self._cache[i]
+        x, sr = read_wav(self.utterances[i].audio_path)
+        if sr != self.sample_rate:
+            raise ValueError(
+                f"sample rate mismatch {sr} != {self.sample_rate}: "
+                f"{self.utterances[i].audio_path}"
+            )
+        if self.cache_audio:
+            self._cache[i] = x
+        return x
+
+    def __len__(self) -> int:
+        return len(self.utterances)
+
+    def num_batches(self) -> int:
+        total = 0
+        for b in range(len(self.bucket_boundaries)):
+            n = int((self._bucket_of == b).sum())
+            total += -(-n // self.batch_size) if n else 0
+        return total
+
+    def epoch(self, seed: Optional[int] = None, shuffle: bool = True) -> Iterator[Batch]:
+        """Yield batches; within a bucket order is shuffled per epoch
+        (the reference reshuffles each epoch, `runner.py:128`)."""
+        rng = np.random.default_rng(seed)
+        order = []
+        for b in range(len(self.bucket_boundaries)):
+            idxs = np.nonzero(self._bucket_of == b)[0]
+            if shuffle:
+                rng.shuffle(idxs)
+            for s in range(0, len(idxs), self.batch_size):
+                order.append((b, idxs[s : s + self.batch_size]))
+        if shuffle:
+            rng.shuffle(order)
+        for b, idxs in order:
+            yield self.make_batch(idxs, self.bucket_boundaries[b])
+
+    def make_batch(self, idxs: np.ndarray, pad_to: int) -> Batch:
+        bsz = self.batch_size
+        audio = np.zeros((bsz, pad_to), np.float32)
+        alen = np.zeros((bsz,), np.int32)
+        targets = np.full((bsz, self.max_target_len), self.vocab.pad_id, np.int32)
+        tlen = np.zeros((bsz,), np.int32)
+        indices = np.full((bsz,), -1, np.int64)
+        for row, i in enumerate(idxs):
+            x = self._audio(int(i))[:pad_to]
+            audio[row, : len(x)] = x
+            alen[row] = len(x)
+            u = self.utterances[int(i)]
+            if u.labeled:
+                ids = self.vocab.parse(u.transcript)[: self.max_target_len]
+                targets[row, : len(ids)] = ids
+                tlen[row] = len(ids)
+            indices[row] = i
+        return Batch(audio, alen, targets, tlen, indices)
+
+    # ---- NST support ------------------------------------------------------
+
+    def with_pseudo_labels(
+        self,
+        labels: Dict[int, str],
+        unk_tol: float = 0.3,
+        max_target_len: Optional[int] = None,
+    ) -> List[Utterance]:
+        """Attach decoded pseudo-label strings to (unlabeled) utterances,
+        filtering empties, too-long targets (`speechcommands.py:221-224`) and
+        high-unk labels (`librispeech.py:108-123`)."""
+        cap = max_target_len or self.max_target_len
+        out = []
+        for i, text in labels.items():
+            text = text.strip()
+            if not text:
+                continue
+            ids = self.vocab.parse(text)
+            if len(ids) == 0 or len(ids) > cap:
+                continue
+            if ids.count(self.vocab.unk_id) / len(ids) > unk_tol:
+                continue
+            out.append(Utterance(self.utterances[i].audio_path, text))
+        return out
+
+
+def mix_datasets(
+    supervised: Sequence[Utterance], pseudo_labeled: Sequence[Utterance]
+) -> List[Utterance]:
+    """The NST 'mix' split: supervised ∪ pseudo-labeled U
+    (`speechcommands.py:211-226` builds mix = deepcopy(train)+U; here it is a
+    manifest concat — no data copies)."""
+    return list(supervised) + list(pseudo_labeled)
+
+
+def shard_utterances(
+    utts: Sequence[Utterance], process_index: int, process_count: int
+) -> List[Utterance]:
+    """Static per-host file assignment for multi-host training."""
+    return [u for i, u in enumerate(utts) if i % process_count == process_index]
+
+
+# ---------------------------------------------------------------------------
+# Directory-layout builders
+# ---------------------------------------------------------------------------
+
+
+_SC_SPEAKER_RE = re.compile(r"([0-9a-f]{8})_nohash_")
+
+
+def speechcommands_manifests(
+    root: str,
+    out_dir: str,
+    unlabeled_fraction: float = 0.25,
+    seed: int = 0,
+) -> Dict[str, str]:
+    """Build manifests from a SpeechCommands-layout directory
+    (``root/<label>/<speaker>_nohash_<n>.wav``).
+
+    Reproduces the reference's split: official validation/testing lists if
+    present, remaining train clips split **by speaker** 75/25 into
+    train / unlabeled-U (`speechcommands.py:253-267`).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def read_list(name):
+        p = os.path.join(root, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return set(l.strip() for l in f if l.strip())
+        return set()
+
+    val_set = read_list("validation_list.txt")
+    test_set = read_list("testing_list.txt")
+
+    all_utts: Dict[str, List[Tuple[str, str, str]]] = {
+        "train": [], "validation": [], "test": []
+    }
+    for label in sorted(os.listdir(root)):
+        d = os.path.join(root, label)
+        if not os.path.isdir(d) or label.startswith("_"):
+            continue
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".wav"):
+                continue
+            rel = f"{label}/{fn}"
+            m = _SC_SPEAKER_RE.search(fn)
+            spk = m.group(1) if m else fn
+            split = (
+                "validation" if rel in val_set else "test" if rel in test_set else "train"
+            )
+            all_utts[split].append((os.path.join(d, fn), label, spk))
+
+    # speaker-based 75/25 train/U split
+    rng = np.random.default_rng(seed)
+    speakers = sorted({s for _, _, s in all_utts["train"]})
+    rng.shuffle(speakers)
+    n_unlab = int(len(speakers) * unlabeled_fraction)
+    unlab_speakers = set(speakers[:n_unlab])
+
+    manifests = {}
+    splits: Dict[str, List[Utterance]] = {
+        "train": [], "validation": [], "test": [], "unlabeled": []
+    }
+    for path, label, spk in all_utts["train"]:
+        if spk in unlab_speakers:
+            splits["unlabeled"].append(Utterance(path, ""))
+        else:
+            splits["train"].append(Utterance(path, label))
+    for split in ("validation", "test"):
+        splits[split] = [Utterance(p, l) for p, l, _ in all_utts[split]]
+
+    for split, utts in splits.items():
+        mpath = os.path.join(out_dir, f"{split}.tsv")
+        save_manifest(mpath, utts)
+        manifests[split] = mpath
+    return manifests
+
+
+def librispeech_manifests(root: str, out_dir: str, splits: Sequence[str]) -> Dict[str, str]:
+    """Build manifests from LibriSpeech-layout directories
+    (``root/<split>/<spk>/<chap>/<spk>-<chap>.trans.txt`` + audio files),
+    the layout `unused_lib/standard/librispeech.py:18-96` consumes."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifests = {}
+    for split in splits:
+        utts = []
+        sdir = os.path.join(root, split)
+        for dirpath, _, files in os.walk(sdir):
+            for fn in files:
+                if fn.endswith(".trans.txt"):
+                    with open(os.path.join(dirpath, fn)) as f:
+                        for line in f:
+                            line = line.strip()
+                            if not line:
+                                continue
+                            utt_id, text = line.split(" ", 1)
+                            for ext in (".wav", ".flac"):
+                                ap = os.path.join(dirpath, utt_id + ext)
+                                if os.path.exists(ap):
+                                    utts.append(Utterance(ap, text.lower()))
+                                    break
+        mpath = os.path.join(out_dir, f"{split}.tsv")
+        save_manifest(mpath, utts)
+        manifests[split] = mpath
+    return manifests

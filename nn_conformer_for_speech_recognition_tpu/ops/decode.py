@@ -1,0 +1,225 @@
+"""CTC decoding: greedy argmax and vectorized fixed-width beam search.
+
+Greedy decode reproduces the reference's ``predict`` (argmax over vocab per
+frame, `lib/standard/asrnn.py:48-58`); token→string handling (drop pad/blank
+for word vocab, CTC repeat-collapse for word pieces) lives in
+`data/vocab.py`, mirroring `myvocab.py:211-231` / `wordpiecemodel.py:359-387`.
+
+Beam search is the TPU-shaped version of CTC prefix beam search
+(Hannun et al. 2014): XLA needs static shapes, so the hypothesis set is a
+fixed-width beam held in dense arrays, per-step expansion considers only the
+top-``prune`` tokens of the frame, and duplicate prefixes are merged by
+rolling-hash equality with an O(C²) candidate comparison matrix (C = a few
+dozen — trivial on the VPU).  Everything is one ``lax.scan`` over time under
+``vmap`` over the batch; no host round-trips, so sharded decode for NST
+pseudo-labeling runs entirely on-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def greedy_decode(
+    log_probs: jnp.ndarray, frame_lengths: Optional[jnp.ndarray] = None, pad_id: int = 1
+) -> jnp.ndarray:
+    """Per-frame argmax; frames beyond the valid length become ``pad_id``.
+
+    log_probs: (B, T, V) → (B, T) int32 token ids.
+    """
+    ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+    if frame_lengths is not None:
+        t = log_probs.shape[1]
+        mask = jnp.arange(t)[None, :] < frame_lengths[:, None]
+        ids = jnp.where(mask, ids, pad_id)
+    return ids
+
+
+def collapse_repeats(
+    ids: jnp.ndarray, blank_id: int, pad_id: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CTC collapse on-device: drop repeats then blanks, left-pack the rest.
+
+    ids: (B, T) → (packed (B, T) padded with pad_id, lengths (B,)).
+    Matches the WPM decode semantics (`wordpiecemodel.py:375-379`).
+    """
+    b, t = ids.shape
+    prev = jnp.concatenate([jnp.full((b, 1), -1, ids.dtype), ids[:, :-1]], axis=1)
+    keep = (ids != prev) & (ids != blank_id) & (ids != pad_id)
+    # left-pack via sort on (position of kept items first)
+    order_key = jnp.where(keep, jnp.arange(t)[None, :], t + jnp.arange(t)[None, :])
+    perm = jnp.argsort(order_key, axis=1)
+    packed = jnp.take_along_axis(jnp.where(keep, ids, pad_id), perm, axis=1)
+    lengths = jnp.sum(keep, axis=1)
+    return packed, lengths
+
+
+class BeamState(NamedTuple):
+    prefixes: jnp.ndarray  # (beam, Lmax) int32
+    lengths: jnp.ndarray  # (beam,) int32
+    last: jnp.ndarray  # (beam,) int32, -1 if empty prefix
+    p_b: jnp.ndarray  # (beam,) log prob of prefix ending in blank
+    p_nb: jnp.ndarray  # (beam,) log prob of prefix ending in non-blank
+    phash: jnp.ndarray  # (beam,) uint32 rolling hash of prefix
+
+
+_HASH_MULT = jnp.uint32(1000003)
+
+
+def _beam_step(state: BeamState, inputs, *, blank_id: int, beam: int, prune: int):
+    logp, active = inputs  # (V,), scalar bool
+    lmax = state.prefixes.shape[1]
+
+    # Top-`prune` tokens this frame (excluding blank — handled separately).
+    logp_noblank = logp.at[blank_id].set(NEG_INF)
+    tok_lp, tok_ids = jax.lax.top_k(logp_noblank, prune)  # (P,)
+
+    # ---- candidate generation -------------------------------------------
+    # "stay" candidates: one per beam (blank emission or repeat of last).
+    lp_blank = logp[blank_id]
+    stay_pb = jnp.logaddexp(state.p_b, state.p_nb) + lp_blank  # (beam,)
+    # repeat of last token extends p_nb without changing the prefix
+    lp_last = jnp.where(
+        state.last >= 0, logp[jnp.maximum(state.last, 0)], NEG_INF
+    )
+    stay_pnb = state.p_nb + lp_last
+
+    # "extend" candidates: beam × prune, append token c.
+    c_ids = tok_ids[None, :]  # (1, P)
+    c_lp = tok_lp[None, :]  # (1, P)
+    same_as_last = c_ids == state.last[:, None]  # (beam, P)
+    # extending with a repeated token only from the blank-ending mass;
+    # a different token from the full mass.
+    ext_src = jnp.where(
+        same_as_last, state.p_b[:, None], jnp.logaddexp(state.p_b, state.p_nb)[:, None]
+    )
+    ext_pnb = ext_src + c_lp  # (beam, P)
+
+    # ---- flatten to candidate arrays ------------------------------------
+    # candidate i in [0, beam): stay; i in [beam, beam+beam*P): extend.
+    n_ext = beam * prune
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((n_ext,), NEG_INF)])
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
+    parent = jnp.concatenate(
+        [jnp.arange(beam), jnp.repeat(jnp.arange(beam), prune)]
+    )
+    ext_tok = jnp.concatenate(
+        [jnp.full((beam,), -1, jnp.int32), jnp.tile(tok_ids, beam)]
+    )
+    is_ext = ext_tok >= 0
+
+    cand_len = state.lengths[parent] + is_ext.astype(jnp.int32)
+    cand_last = jnp.where(is_ext, ext_tok, state.last[parent])
+    cand_hash = jnp.where(
+        is_ext,
+        state.phash[parent] * _HASH_MULT + (ext_tok + 1).astype(jnp.uint32),
+        state.phash[parent],
+    )
+    # guard: extensions past Lmax are invalid
+    overflow = is_ext & (state.lengths[parent] >= lmax)
+    cand_pb = jnp.where(overflow, NEG_INF, cand_pb)
+    cand_pnb = jnp.where(overflow, NEG_INF, cand_pnb)
+
+    # ---- merge duplicates by hash ---------------------------------------
+    c = cand_hash.shape[0]
+    eq = (cand_hash[:, None] == cand_hash[None, :]) & (
+        cand_len[:, None] == cand_len[None, :]
+    )
+    # logsumexp of each candidate's duplicates-group, attributed to the
+    # first (lowest-index) member; the rest are squashed to NEG_INF.
+    def group_lse(v):
+        vm = jnp.where(eq, v[None, :], NEG_INF)  # (C, C)
+        m = jnp.max(vm, axis=1)
+        m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
+        out = m_safe + jnp.log(jnp.sum(jnp.exp(vm - m_safe[:, None]), axis=1))
+        return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
+
+    merged_pb = group_lse(cand_pb)
+    merged_pnb = group_lse(cand_pnb)
+    first_of_group = jnp.argmax(eq, axis=1) == jnp.arange(c)
+    merged_pb = jnp.where(first_of_group, merged_pb, NEG_INF)
+    merged_pnb = jnp.where(first_of_group, merged_pnb, NEG_INF)
+
+    # ---- top-beam selection ---------------------------------------------
+    total = jnp.logaddexp(merged_pb, merged_pnb)
+    _, top_idx = jax.lax.top_k(total, beam)
+
+    sel_parent = parent[top_idx]
+    sel_tok = ext_tok[top_idx]
+    sel_is_ext = sel_tok >= 0
+    new_prefixes = state.prefixes[sel_parent]
+    append_pos = state.lengths[sel_parent]
+    one_hot = (
+        jnp.arange(lmax)[None, :] == append_pos[:, None]
+    ) & sel_is_ext[:, None]
+    new_prefixes = jnp.where(one_hot, sel_tok[:, None], new_prefixes)
+
+    new_state = BeamState(
+        prefixes=new_prefixes,
+        lengths=cand_len[top_idx],
+        last=cand_last[top_idx],
+        p_b=merged_pb[top_idx],
+        p_nb=merged_pnb[top_idx],
+        phash=cand_hash[top_idx],
+    )
+    # inactive frame (t >= length): carry state through unchanged
+    new_state = jax.tree.map(
+        lambda n, o: jnp.where(
+            jnp.reshape(active, (1,) * n.ndim), n, o
+        ),
+        new_state,
+        state,
+    )
+    return new_state, None
+
+
+@partial(jax.jit, static_argnames=("blank_id", "beam", "prune", "max_label_len"))
+def ctc_beam_search(
+    log_probs: jnp.ndarray,
+    frame_lengths: Optional[jnp.ndarray] = None,
+    *,
+    blank_id: int = 0,
+    beam: int = 8,
+    prune: int = 8,
+    max_label_len: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched CTC prefix beam search.
+
+    Args:
+        log_probs: (B, T, V) log-softmax outputs.
+        frame_lengths: (B,) valid frame counts (default: all T).
+
+    Returns:
+        (tokens (B, beam, max_label_len), lengths (B, beam), scores (B, beam))
+        sorted best-first.  ``tokens`` is padded with -1.
+    """
+    b, t, v = log_probs.shape
+    prune = min(prune, v - 1)
+    if frame_lengths is None:
+        frame_lengths = jnp.full((b,), t, jnp.int32)
+
+    def single(lp, n_frames):
+        init = BeamState(
+            prefixes=jnp.full((beam, max_label_len), -1, jnp.int32),
+            lengths=jnp.zeros((beam,), jnp.int32),
+            last=jnp.full((beam,), -1, jnp.int32),
+            p_b=jnp.where(jnp.arange(beam) == 0, 0.0, NEG_INF),
+            p_nb=jnp.full((beam,), NEG_INF),
+            # distinct initial hashes so empty dummy beams don't merge with
+            # the real empty prefix
+            phash=jnp.arange(beam, dtype=jnp.uint32) * jnp.uint32(2654435761),
+        )
+        active = jnp.arange(t) < n_frames
+        step = partial(_beam_step, blank_id=blank_id, beam=beam, prune=prune)
+        final, _ = jax.lax.scan(step, init, (lp, active))
+        score = jnp.logaddexp(final.p_b, final.p_nb)
+        order = jnp.argsort(-score)
+        return final.prefixes[order], final.lengths[order], score[order]
+
+    return jax.vmap(single)(log_probs, frame_lengths)

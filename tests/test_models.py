@@ -1,0 +1,134 @@
+"""Model tests: shapes, masking invariance, param counts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nn_conformer_for_speech_recognition_tpu import config as C
+from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC, count_params
+from nn_conformer_for_speech_recognition_tpu.models.conformer import (
+    ConformerEncoder,
+    MaskedBatchNorm,
+    length_mask,
+)
+from nn_conformer_for_speech_recognition_tpu.models.subsampling import ConvSubsampling
+
+
+def _tiny_model():
+    enc = C.ConformerConfig(num_blocks=2, d_model=32, num_heads=2, ffn_dim=64,
+                            conv_kernel_size=7, dropout=0.0)
+    dec = C.DecoderConfig(projection_dim=16, lstm_hidden=16, dropout=0.0)
+    return C.ModelConfig(encoder=enc, decoder=dec, n_mels=8)
+
+
+def test_subsampling_lengths(rng):
+    cfg = C.SubsamplingConfig(channels=(8, 8))
+    m = ConvSubsampling(cfg, d_model=16)
+    x = jnp.asarray(rng.standard_normal((2, 33, 8)).astype(np.float32))
+    params = m.init(jax.random.key(0), x, jnp.array([33, 10]))
+    out, lengths = m.apply(params, x, jnp.array([33, 10]))
+    assert out.shape == (2, 9, 16)  # ceil(ceil(33/2)/2) = 9
+    assert int(lengths[0]) == 9 and int(lengths[1]) == 3
+    assert cfg.subsampled_length(33) == 9
+
+
+def test_masked_batchnorm_ignores_padding(rng):
+    m = MaskedBatchNorm()
+    x = jnp.asarray(rng.standard_normal((2, 6, 4)).astype(np.float32))
+    mask = length_mask(jnp.array([6, 3]), 6)
+    vars_ = m.init(jax.random.key(0), x, mask)
+    # corrupt padding: stats must not change
+    x2 = x.at[1, 3:].set(1e6)
+    y1, s1 = m.apply(vars_, x, mask, mutable=["batch_stats"])
+    y2, s2 = m.apply(vars_, x2, mask, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1[0]), np.asarray(y2[0]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1["batch_stats"]["mean"]), np.asarray(s2["batch_stats"]["mean"]), atol=1e-4
+    )
+
+
+def test_encoder_padding_invariance(rng):
+    """Extending padding must not change valid-frame outputs."""
+    cfg = C.ConformerConfig(num_blocks=1, d_model=16, num_heads=2, ffn_dim=32,
+                            conv_kernel_size=5, dropout=0.0)
+    m = ConformerEncoder(cfg)
+    x8 = jnp.asarray(rng.standard_normal((1, 8, 16)).astype(np.float32))
+    x12 = jnp.concatenate([x8, jnp.ones((1, 4, 16))], axis=1)
+    lengths = jnp.array([8])
+    params = m.init(jax.random.key(0), x8, lengths)
+    y8 = m.apply(params, x8, lengths, deterministic=True)
+    y12 = m.apply(params, x12, lengths, deterministic=True)
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y12[:, :8]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y12[:, 8:]), 0.0, atol=1e-6)
+
+
+def test_asr_forward_shapes(rng):
+    cfg = _tiny_model()
+    model = ConformerCTC(cfg, vocab_size=11)
+    feats = jnp.asarray(rng.standard_normal((2, 20, 8)).astype(np.float32))
+    lengths = jnp.array([20, 12])
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, feats, lengths
+    )
+    lp, out_lengths = model.apply(variables, feats, lengths, deterministic=True)
+    assert lp.shape == (2, 5, 11)  # T/4
+    assert int(out_lengths[0]) == 5 and int(out_lengths[1]) == 3
+    # valid log-softmax rows
+    s = np.exp(np.asarray(lp)).sum(-1)
+    np.testing.assert_allclose(s[0], 1.0, atol=1e-4)
+
+
+def test_asr_dropout_rng_changes_output(rng):
+    cfg = _tiny_model()
+    cfg = C.ModelConfig(
+        encoder=C.ConformerConfig(num_blocks=1, d_model=32, num_heads=2, ffn_dim=64,
+                                  conv_kernel_size=7, dropout=0.5),
+        decoder=cfg.decoder, n_mels=8,
+    )
+    model = ConformerCTC(cfg, vocab_size=11)
+    feats = jnp.asarray(rng.standard_normal((2, 20, 8)).astype(np.float32))
+    lengths = jnp.array([20, 20])
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, feats, lengths
+    )
+    out1, _ = model.apply(
+        variables, feats, lengths, deterministic=False,
+        rngs={"dropout": jax.random.key(2)}, mutable=["batch_stats"],
+    )[0], None
+    out2, _ = model.apply(
+        variables, feats, lengths, deterministic=False,
+        rngs={"dropout": jax.random.key(3)}, mutable=["batch_stats"],
+    )[0], None
+    assert not np.allclose(np.asarray(out1[0]), np.asarray(out2[0]))
+
+
+def test_preset_param_counts():
+    """Conformer-S ≈ 10M (BASELINE.json configs[0])."""
+    cfg = C.conformer_s()
+    model = ConformerCTC(cfg, vocab_size=1024)
+    feats = jnp.zeros((1, 16, 40))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, jnp.array([16]),
+    )
+    n = count_params(variables["params"])
+    assert 6e6 < n < 20e6, n
+
+
+def test_bf16_compute_dtype(rng):
+    cfg = C.ModelConfig(
+        encoder=C.ConformerConfig(num_blocks=1, d_model=32, num_heads=2, ffn_dim=64,
+                                  conv_kernel_size=7, dropout=0.0),
+        decoder=C.DecoderConfig(projection_dim=16, lstm_hidden=16, dropout=0.0),
+        n_mels=8, compute_dtype="bfloat16",
+    )
+    model = ConformerCTC(cfg, vocab_size=11)
+    feats = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, jnp.array([16, 16]),
+    )
+    lp, _ = model.apply(variables, feats, jnp.array([16, 16]), deterministic=True)
+    assert lp.dtype == jnp.float32  # final logits/log-probs stay f32
+    assert np.isfinite(np.asarray(lp)).all()
