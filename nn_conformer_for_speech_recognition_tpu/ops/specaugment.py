@@ -48,8 +48,8 @@ def _time_warp_single(x: jnp.ndarray, tau: jnp.ndarray, key: jax.Array, w_param:
     left = pos * (w0 / jnp.maximum(pivot, 1.0))
     right = w0 + (pos - pivot) * ((tau_f - 1.0 - w0) / jnp.maximum(tau_f - 1.0 - pivot, 1.0))
     src = jnp.where(pos <= pivot, left, right)
-    src = jnp.where(pos < tau_f, src, pos)  # identity in padding
     src = jnp.clip(src, 0.0, tau_f - 1.0)
+    src = jnp.where(pos < tau_f, src, pos)  # identity in padding (after clip)
 
     i0 = jnp.floor(src).astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, t - 1)

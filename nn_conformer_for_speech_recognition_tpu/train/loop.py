@@ -1,0 +1,344 @@
+"""Training/eval engine — the TPU-native counterpart of the reference Runner
+(`lib/standard/runner.py:16-282`).
+
+Everything device-side lives in three jitted, sharded step functions:
+
+  * ``train_step``: on-device log-mel featurization → SpecAugment (PRNG-key
+    driven, no host round-trip) → model fwd (dropout + masked-BN stats) →
+    CTC loss → grads → Adafactor update.  The whole step is one XLA program;
+    with the batch sharded over the ``data`` mesh axis, gradient psum is
+    inserted automatically by GSPMD (no NCCL/DDP analogue needed —
+    SURVEY.md §2.3).
+  * ``eval_step``: forward + loss + greedy argmax ids.
+  * ``predict_step``: greedy ids only — the sharded NST pseudo-labeling pass
+    (`runner.py:253-281` ``generate_labels``).
+
+The Trainer wraps them with the host-side epoch loop: shuffled bucketed
+batches, per-epoch validation (`runner.py:173`), WER on decoded strings
+(`runner.py:149-160` — here via `train/metrics.py`), curve plotting, sample
+dump (`runner.py:234-238`), and orbax checkpointing.
+
+NaN losses are *surfaced* (count tracked) instead of silently mapped to 100
+(`runner.py:166`), and CTC ``zero_infinity`` handles impossible alignments.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nn_conformer_for_speech_recognition_tpu.config import (
+    ExperimentConfig,
+    FeatureConfig,
+    MeshConfig,
+    SpecAugmentConfig,
+    TrainConfig,
+)
+from nn_conformer_for_speech_recognition_tpu.data.datasets import Batch, BucketedDataset
+from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+from nn_conformer_for_speech_recognition_tpu.ops.ctc import ctc_loss
+from nn_conformer_for_speech_recognition_tpu.ops.decode import ctc_beam_search, greedy_decode
+from nn_conformer_for_speech_recognition_tpu.ops.features import log_mel_spectrogram
+from nn_conformer_for_speech_recognition_tpu.ops.specaugment import specaugment
+from nn_conformer_for_speech_recognition_tpu.parallel import mesh as pmesh
+from nn_conformer_for_speech_recognition_tpu.train import metrics as M
+from nn_conformer_for_speech_recognition_tpu.train.optim import make_optimizer
+from nn_conformer_for_speech_recognition_tpu.train.state import TrainState
+
+
+def _featurize(audio, audio_lengths, feat_cfg: FeatureConfig):
+    return log_mel_spectrogram(audio, feat_cfg, audio_lengths)
+
+
+def make_train_step(
+    model: ConformerCTC,
+    feat_cfg: FeatureConfig,
+    sa_cfg: SpecAugmentConfig,
+    blank_id: int,
+    use_specaugment: bool = True,
+):
+    """Returns jittable (state, audio, alen, targets, tlen) → (state, metrics)."""
+
+    def train_step(state: TrainState, audio, audio_lengths, targets, target_lengths):
+        rng, sa_rng, do_rng = jax.random.split(state.rng, 3)
+        feats, frame_lengths = _featurize(audio, audio_lengths, feat_cfg)
+        if use_specaugment:
+            feats = specaugment(feats, frame_lengths, sa_rng, sa_cfg)
+
+        def loss_fn(params):
+            (log_probs, out_lengths), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats,
+                frame_lengths,
+                deterministic=False,
+                rngs={"dropout": do_rng},
+                mutable=["batch_stats"],
+            )
+            per_seq = ctc_loss(
+                log_probs, targets, out_lengths, target_lengths,
+                blank_id=blank_id, reduction=None,
+            )
+            # exclude batch-padding / unlabeled rows (target_lengths == 0)
+            w = (target_lengths > 0).astype(per_seq.dtype)
+            denom = jnp.maximum(target_lengths, 1).astype(per_seq.dtype)
+            loss = jnp.sum(per_seq / denom * w) / jnp.maximum(jnp.sum(w), 1.0)
+            return loss, updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_bs, rng)
+        gnorm = optax_global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_eval_step(model: ConformerCTC, feat_cfg: FeatureConfig, blank_id: int, pad_id: int):
+    def eval_step(state: TrainState, audio, audio_lengths, targets, target_lengths):
+        feats, frame_lengths = _featurize(audio, audio_lengths, feat_cfg)
+        log_probs, out_lengths = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats,
+            frame_lengths,
+            deterministic=True,
+        )
+        per_seq = ctc_loss(
+            log_probs, targets, out_lengths, target_lengths,
+            blank_id=blank_id, reduction=None,
+        )
+        w = (target_lengths > 0).astype(per_seq.dtype)
+        denom = jnp.maximum(target_lengths, 1).astype(per_seq.dtype)
+        loss = jnp.sum(per_seq / denom * w) / jnp.maximum(jnp.sum(w), 1.0)
+        ids = greedy_decode(log_probs, out_lengths, pad_id=pad_id)
+        return loss, ids, out_lengths
+
+    return eval_step
+
+
+def make_predict_step(model: ConformerCTC, feat_cfg: FeatureConfig, pad_id: int):
+    def predict_step(state: TrainState, audio, audio_lengths):
+        feats, frame_lengths = _featurize(audio, audio_lengths, feat_cfg)
+        log_probs, out_lengths = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats,
+            frame_lengths,
+            deterministic=True,
+        )
+        return greedy_decode(log_probs, out_lengths, pad_id=pad_id), out_lengths
+
+    return predict_step
+
+
+class Trainer:
+    """Host-side orchestration: epochs, metrics, checkpoints, NST labeling.
+
+    The functional analogue of the reference Runner: ``train`` ≈
+    `runner.py:102-182`, ``test`` ≈ `runner.py:183-252`, ``generate_labels``
+    ≈ `runner.py:253-281`, with the device mesh and sharded steps the
+    reference lacks.
+    """
+
+    def __init__(
+        self,
+        model: ConformerCTC,
+        vocab,
+        feat_cfg: FeatureConfig,
+        train_cfg: TrainConfig,
+        mesh_cfg: MeshConfig = MeshConfig(),
+        learning_rate: Optional[float] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        log_fn: Callable[[str], None] = print,
+    ):
+        self.model = model
+        self.vocab = vocab
+        self.feat_cfg = feat_cfg
+        self.train_cfg = train_cfg
+        self.mesh_cfg = mesh_cfg
+        self.log = log_fn
+
+        opt_cfg = train_cfg.optimizer
+        if learning_rate is not None:
+            import dataclasses
+
+            opt_cfg = dataclasses.replace(opt_cfg, learning_rate=learning_rate)
+        self.tx = make_optimizer(opt_cfg)
+
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(mesh_cfg)
+        self._batch_sharding = pmesh.batch_sharding(self.mesh, mesh_cfg)
+
+        blank = vocab.blank_id
+        pad = vocab.pad_id
+        self._train_step = jax.jit(
+            make_train_step(
+                model, feat_cfg, train_cfg.specaugment, blank,
+                use_specaugment=train_cfg.use_specaugment,
+            ),
+            donate_argnums=(0,) if train_cfg.donate_state else (),
+        )
+        self._train_step_noaug = jax.jit(
+            make_train_step(model, feat_cfg, train_cfg.specaugment, blank,
+                            use_specaugment=False),
+            donate_argnums=(0,) if train_cfg.donate_state else (),
+        )
+        self._eval_step = jax.jit(make_eval_step(model, feat_cfg, blank, pad))
+        self._predict_step = jax.jit(make_predict_step(model, feat_cfg, pad))
+
+        self.state: Optional[TrainState] = None
+        self.history: Dict[str, List[float]] = {
+            "train_loss": [], "train_wer": [], "val_loss": [], "val_wer": []
+        }
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, seed: int = 0, example: Optional[Batch] = None) -> TrainState:
+        rng = jax.random.key(seed)
+        if example is None:
+            t = self.feat_cfg.num_frames(self.feat_cfg.sample_rate)
+            feats = jnp.zeros((2, t, self.feat_cfg.n_mels))
+            flens = jnp.full((2,), t)
+        else:
+            feats, flens = _featurize(
+                jnp.asarray(example.audio[:2]),
+                jnp.asarray(example.audio_lengths[:2]),
+                self.feat_cfg,
+            )
+        variables = self.model.init(
+            {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
+            feats, flens,
+        )
+        params = pmesh.shard_params(self.mesh, variables["params"], self.mesh_cfg)
+        batch_stats = jax.device_put(
+            variables.get("batch_stats", {}), pmesh.replicated(self.mesh)
+        )
+        self.state = TrainState.create(params, batch_stats, self.tx, rng)
+        return self.state
+
+    def _put(self, batch: Batch):
+        return pmesh.shard_batch_arrays(
+            self.mesh, self.mesh_cfg,
+            batch.audio, batch.audio_lengths.astype(np.int32),
+            batch.targets, batch.target_lengths.astype(np.int32),
+        )
+
+    # ----------------------------------------------------------------- train
+
+    def train(
+        self,
+        dataset: BucketedDataset,
+        epochs: int,
+        val_dataset: Optional[BucketedDataset] = None,
+        use_specaugment: Optional[bool] = None,
+        epoch_offset: int = 0,
+    ) -> Dict[str, List[float]]:
+        assert self.state is not None, "call init_state() first"
+        sa = self.train_cfg.use_specaugment if use_specaugment is None else use_specaugment
+        step_fn = self._train_step if sa else self._train_step_noaug
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = M.Mean()
+            nan_steps = 0
+            audio_seconds = 0.0
+            for batch in dataset.epoch(seed=self.train_cfg.seed + epoch_offset + epoch):
+                audio, alen, tgt, tlen = self._put(batch)
+                self.state, metrics = step_fn(self.state, audio, alen, tgt, tlen)
+                loss = float(metrics["loss"])
+                if np.isnan(loss):
+                    nan_steps += 1
+                else:
+                    losses.update(loss, batch.size)
+                audio_seconds += float(batch.audio_lengths.sum()) / self.feat_cfg.sample_rate
+            dt = time.time() - t0
+            self.history["train_loss"].append(losses.result())
+            msg = (
+                f"epoch {epoch_offset + epoch}: loss={losses.result():.4f} "
+                f"({audio_seconds / max(dt, 1e-9):.1f} audio-s/s)"
+            )
+            if nan_steps:
+                msg += f" [{nan_steps} NaN steps]"
+            if val_dataset is not None:
+                vloss, vwer = self.evaluate(val_dataset)
+                self.history["val_loss"].append(vloss)
+                self.history["val_wer"].append(vwer)
+                msg += f" val_loss={vloss:.4f} val_wer={100 * vwer:.2f}"
+            self.log(msg)
+        return self.history
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(
+        self, dataset: BucketedDataset, dump_path: Optional[str] = None
+    ) -> Tuple[float, float]:
+        """Mean loss and corpus WER over a split (greedy decode)."""
+        assert self.state is not None
+        losses = M.Mean()
+        refs: List[str] = []
+        hyps: List[str] = []
+        for batch in dataset.epoch(shuffle=False):
+            audio, alen, tgt, tlen = self._put(batch)
+            loss, ids, _ = self._eval_step(self.state, audio, alen, tgt, tlen)
+            losses.update(float(loss), batch.size)
+            ids = np.asarray(ids)
+            for row, idx in enumerate(batch.indices):
+                if idx < 0:
+                    continue
+                refs.append(dataset.utterances[int(idx)].transcript)
+                hyps.append(self.vocab.decode_ids(ids[row]))
+        if dump_path and refs:
+            # first pred/target pair dump (`runner.py:234-238`)
+            os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)
+            with open(dump_path, "w", encoding="utf-8") as f:
+                f.write(f"pred: {hyps[0]}\ntgt:  {refs[0]}\n")
+        return losses.result(), M.wer(refs, hyps)
+
+    # ------------------------------------------------------------- NST labels
+
+    def generate_labels(self, dataset: BucketedDataset) -> Dict[int, str]:
+        """Greedy-decode pseudo-labels for every utterance (NST U-split pass,
+        `runner.py:253-281`).  Device-side decode; strings materialise on host
+        only at the end (SURVEY.md §7 "NST label plumbing")."""
+        assert self.state is not None
+        labels: Dict[int, str] = {}
+        for batch in dataset.epoch(shuffle=False):
+            audio, alen, _, _ = self._put(batch)
+            ids, _ = self._predict_step(self.state, audio, alen)
+            ids = np.asarray(ids)
+            for row, idx in enumerate(batch.indices):
+                if idx < 0:
+                    continue
+                labels[int(idx)] = self.vocab.decode_ids(ids[row])
+        return labels
+
+    # ------------------------------------------------------------ checkpoints
+
+    def save(self, path: str) -> None:
+        from nn_conformer_for_speech_recognition_tpu.train.checkpoint import save_state
+
+        save_state(path, self.state)
+
+    def load(self, path: str) -> None:
+        from nn_conformer_for_speech_recognition_tpu.train.checkpoint import restore_state
+
+        assert self.state is not None, "init_state() first to build the template"
+        self.state = restore_state(path, self.state)
+
+    def load_encoder_only(self, path: str) -> None:
+        """Selective restore of conformer-encoder params only, mirroring the
+        reference's 'conformer'-key-filtered partial load (`runner.py:61-77`)."""
+        from nn_conformer_for_speech_recognition_tpu.train.checkpoint import (
+            restore_encoder_params,
+        )
+
+        assert self.state is not None
+        new_params = restore_encoder_params(path, self.state.params)
+        self.state = self.state.replace(params=new_params)

@@ -1,0 +1,132 @@
+"""Training-loop integration tests on the 8-device virtual CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nn_conformer_for_speech_recognition_tpu import config as C
+from nn_conformer_for_speech_recognition_tpu.data.audio import make_synthetic_corpus
+from nn_conformer_for_speech_recognition_tpu.data.datasets import (
+    BucketedDataset,
+    load_manifest,
+)
+from nn_conformer_for_speech_recognition_tpu.data.vocab import build_vocab
+from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+from nn_conformer_for_speech_recognition_tpu.train.loop import Trainer
+
+WORDS = ["yes", "no", "go", "stop"]
+
+
+def _tiny_model_cfg():
+    enc = C.ConformerConfig(num_blocks=1, d_model=32, num_heads=2, ffn_dim=64,
+                            conv_kernel_size=7, dropout=0.0)
+    dec = C.DecoderConfig(projection_dim=16, lstm_hidden=16, dropout=0.0)
+    return C.ModelConfig(encoder=enc, decoder=dec, n_mels=13)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    manifests = make_synthetic_corpus(
+        root, WORDS, n_train=16, n_val=8, n_test=8, n_unlabeled=8, seed=0
+    )
+    return manifests
+
+
+@pytest.fixture(scope="module")
+def setup(corpus):
+    feat_cfg = C.FeatureConfig(n_fft=256, hop_length=256, n_mels=13)
+    train_utts = load_manifest(corpus["train"])
+    vocab = build_vocab("word", [u.transcript for u in train_utts])
+    dss = {
+        split: BucketedDataset(
+            load_manifest(corpus[split]), vocab, batch_size=8,
+            bucket_boundaries=[8000], max_target_len=4,
+        )
+        for split in corpus
+    }
+    return feat_cfg, vocab, dss
+
+
+def _make_trainer(feat_cfg, vocab, lr=3e-3, sa=False):
+    tcfg = C.TrainConfig(
+        batch_size=8,
+        optimizer=C.OptimizerConfig(name="adam", learning_rate=lr),
+        use_specaugment=sa,
+        donate_state=False,
+    )
+    model = ConformerCTC(_tiny_model_cfg(), vocab_size=len(vocab))
+    return Trainer(model, vocab, feat_cfg, tcfg)
+
+
+def test_train_loss_decreases(setup):
+    feat_cfg, vocab, dss = setup
+    trainer = _make_trainer(feat_cfg, vocab)
+    trainer.init_state(seed=0)
+    trainer.train(dss["train"], epochs=8)
+    losses = trainer.history["train_loss"]
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_overfit_one_batch_wer_drops(setup):
+    """SURVEY.md §4: tiny-corpus overfit → WER falls toward 0."""
+    feat_cfg, vocab, dss = setup
+    trainer = _make_trainer(feat_cfg, vocab, lr=5e-3)
+    trainer.init_state(seed=0)
+    _, wer0 = trainer.evaluate(dss["train"])
+    trainer.train(dss["train"], epochs=40)
+    _, wer1 = trainer.evaluate(dss["train"])
+    assert wer1 < wer0, (wer0, wer1)
+    assert wer1 <= 0.7, wer1
+
+
+def test_evaluate_dump(setup, tmp_path):
+    feat_cfg, vocab, dss = setup
+    trainer = _make_trainer(feat_cfg, vocab)
+    trainer.init_state(seed=0)
+    dump = str(tmp_path / "pred_tgt.txt")
+    loss, wer = trainer.evaluate(dss["test"], dump_path=dump)
+    assert np.isfinite(loss)
+    assert os.path.exists(dump)
+    content = open(dump).read()
+    assert content.startswith("pred:") and "tgt:" in content
+
+
+def test_generate_labels_covers_unlabeled(setup):
+    feat_cfg, vocab, dss = setup
+    trainer = _make_trainer(feat_cfg, vocab)
+    trainer.init_state(seed=0)
+    labels = trainer.generate_labels(dss["unlabeled"])
+    assert set(labels.keys()) == set(range(len(dss["unlabeled"])))
+    assert all(isinstance(v, str) for v in labels.values())
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    feat_cfg, vocab, dss = setup
+    trainer = _make_trainer(feat_cfg, vocab)
+    trainer.init_state(seed=0)
+    trainer.train(dss["train"], epochs=1)
+    step0 = int(trainer.state.step)
+    p0 = jax.tree.map(np.asarray, trainer.state.params)
+    trainer.save(str(tmp_path / "ckpt"))
+
+    trainer2 = _make_trainer(feat_cfg, vocab)
+    trainer2.init_state(seed=1)
+    trainer2.load(str(tmp_path / "ckpt"))
+    assert int(trainer2.state.step) == step0
+    p1 = jax.tree.map(np.asarray, trainer2.state.params)
+    flat0 = jax.tree.leaves(p0)
+    flat1 = jax.tree.leaves(p1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_specaugment_train_step_runs(setup):
+    feat_cfg, vocab, dss = setup
+    trainer = _make_trainer(feat_cfg, vocab, sa=True)
+    trainer.init_state(seed=0)
+    trainer.train(dss["train"], epochs=1)
+    assert np.isfinite(trainer.history["train_loss"][0])
