@@ -1,0 +1,262 @@
+"""Command-line interface.
+
+The reference has no CLI — it is driven by `main.ipynb` (65 cells, SURVEY.md
+§1 L5).  This module provides the entry points the build plan specifies
+(SURVEY.md §7): ``prepare-data``, ``train``, ``eval``, ``nst``, ``pretrain``,
+``benchmark``.
+
+    python -m nn_conformer_for_speech_recognition_tpu.cli.main train \
+        --manifest-dir data/manifests --model conformer_s --epochs 15
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import Dict, Optional
+
+
+def _common_data_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--manifest-dir", required=True,
+                   help="directory containing {train,validation,test,unlabeled}.tsv")
+    p.add_argument("--vocab", default="word", choices=["word", "wordpiece"])
+    p.add_argument("--vocab-path", default=None,
+                   help="load instead of building from train transcripts")
+    p.add_argument("--ntokens", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--sample-rate", type=int, default=16000)
+    p.add_argument("--max-target-len", type=int, default=32)
+    p.add_argument("--bucket-boundaries", type=int, nargs="*", default=None,
+                   help="bucket boundaries in samples; default = one bucket at max")
+
+
+def _common_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="conformer_s",
+                   choices=["reference", "conformer_s", "conformer_m", "conformer_l"])
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use-pallas", action="store_true")
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--n-mels", type=int, default=40)
+    p.add_argument("--checkpoint", default=None, help="restore full state")
+    p.add_argument("--encoder-checkpoint", default=None,
+                   help="restore encoder params only (pretraining transfer)")
+
+
+def _build(args):
+    """Shared setup: configs, vocab, datasets, trainer."""
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.data.datasets import (
+        BucketedDataset, load_manifest)
+    from nn_conformer_for_speech_recognition_tpu.data.vocab import (
+        build_vocab, load_any_vocab)
+    from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+    from nn_conformer_for_speech_recognition_tpu.train.loop import Trainer
+
+    feat_cfg = C.FeatureConfig(sample_rate=args.sample_rate, n_mels=args.n_mels)
+    manifests: Dict[str, list] = {}
+    for split in ("train", "validation", "test", "unlabeled"):
+        path = os.path.join(args.manifest_dir, f"{split}.tsv")
+        if os.path.exists(path):
+            manifests[split] = load_manifest(path)
+    if args.vocab_path:
+        vocab = load_any_vocab(args.vocab_path, args.ntokens)
+    else:
+        vocab = build_vocab(
+            args.vocab,
+            [u.transcript for u in manifests.get("train", []) if u.labeled],
+            args.ntokens,
+        )
+
+    datasets = {
+        split: BucketedDataset(
+            utts, vocab, args.batch_size, sample_rate=args.sample_rate,
+            bucket_boundaries=args.bucket_boundaries or (),
+            max_target_len=args.max_target_len,
+        )
+        for split, utts in manifests.items()
+    }
+
+    mcfg = C.MODEL_PRESETS[args.model](
+        compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+        n_mels=args.n_mels,
+    )
+    train_cfg = C.TrainConfig(
+        batch_size=args.batch_size,
+        optimizer=C.OptimizerConfig(learning_rate=getattr(args, "lr", 2e-5)),
+        use_specaugment=not getattr(args, "no_specaugment", False),
+    )
+    mesh_cfg = C.MeshConfig(model_parallel_size=args.model_parallel)
+    model = ConformerCTC(mcfg, vocab_size=len(vocab))
+    trainer = Trainer(model, vocab, feat_cfg, train_cfg, mesh_cfg)
+    trainer.init_state(seed=getattr(args, "seed", 0))
+    if args.checkpoint:
+        trainer.load(args.checkpoint)
+    elif args.encoder_checkpoint:
+        trainer.load_encoder_only(args.encoder_checkpoint)
+    return trainer, datasets, vocab
+
+
+def cmd_prepare_data(args) -> int:
+    from nn_conformer_for_speech_recognition_tpu.data.datasets import (
+        librispeech_manifests, speechcommands_manifests)
+
+    if args.layout == "speechcommands":
+        m = speechcommands_manifests(args.root, args.out,
+                                     unlabeled_fraction=args.unlabeled_fraction)
+    else:
+        m = librispeech_manifests(args.root, args.out, args.splits)
+    print(json.dumps({k: v for k, v in m.items()}))
+    return 0
+
+
+def cmd_train(args) -> int:
+    trainer, datasets, vocab = _build(args)
+    trainer.train(datasets["train"], args.epochs,
+                  val_dataset=datasets.get("validation"))
+    if args.save:
+        trainer.save(args.save)
+    if args.plots:
+        from nn_conformer_for_speech_recognition_tpu.train.evals import plot_curves
+
+        plot_curves(trainer.history, os.path.join(args.plots, "curves.pdf"))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    trainer, datasets, vocab = _build(args)
+    split = datasets[args.split]
+    dump = os.path.join(args.results_dir, "pred_tgt.txt") if args.results_dir else None
+    loss, wer = trainer.evaluate(split, dump_path=dump)
+    print(json.dumps({"split": args.split, "loss": loss, "wer": 100 * wer}))
+    if args.heatmap and args.results_dir:
+        from nn_conformer_for_speech_recognition_tpu.train.evals import confusion_heatmap
+
+        labels = [t for t in vocab.tokens[3:]]
+        refs, hyps = [], []
+        preds = trainer.generate_labels(split)
+        for i, u in enumerate(split.utterances):
+            refs.append(u.transcript)
+            hyps.append(preds.get(i, ""))
+        confusion_heatmap(refs, hyps, labels,
+                          os.path.join(args.results_dir, "confusion.png"))
+        confusion_heatmap(refs, hyps, labels,
+                          os.path.join(args.results_dir, "confusion_pct.png"),
+                          normalize=True)
+    return 0
+
+
+def cmd_nst(args) -> int:
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.nst.driver import run_nst
+
+    args.lr = args.ft_lr  # NST runs at the finetune lr (`finetune.py:28`)
+    trainer, datasets, vocab = _build(args)
+    nst_cfg = C.NSTConfig(
+        ft_lr=args.ft_lr, generations=args.generations,
+        train_epochs_per_generation=args.gen_epochs,
+        max_target_len=args.max_target_len,
+    )
+    results = run_nst(trainer, datasets["train"], datasets["unlabeled"], nst_cfg,
+                      val_dataset=datasets.get("validation"),
+                      work_dir=args.work_dir)
+    print(json.dumps([dataclasses.asdict(r) for r in results]))
+    return 0
+
+
+def cmd_pretrain(args) -> int:
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.data.datasets import (
+        BucketedDataset, load_manifest)
+    from nn_conformer_for_speech_recognition_tpu.data.vocab import WordVocab
+    from nn_conformer_for_speech_recognition_tpu.train.pretrain_loop import (
+        PretrainTrainer)
+
+    feat_cfg = C.FeatureConfig(sample_rate=args.sample_rate, n_mels=args.n_mels)
+    mcfg = C.MODEL_PRESETS[args.model](n_mels=args.n_mels)
+    pcfg = C.PretrainConfig(learning_rate=args.lr)
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>"])
+    utts = load_manifest(os.path.join(args.manifest_dir, "unlabeled.tsv"))
+    ds = BucketedDataset(utts, vocab, args.batch_size,
+                         sample_rate=args.sample_rate,
+                         bucket_boundaries=args.bucket_boundaries or ())
+    tr = PretrainTrainer(mcfg, pcfg, feat_cfg)
+    tr.init_state(seed=0)
+    tr.train(ds, args.epochs)
+    if args.save:
+        tr.save(args.save)
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nn_conformer_for_speech_recognition_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("prepare-data", help="build manifests from a dataset directory")
+    sp.add_argument("--layout", choices=["speechcommands", "librispeech"], required=True)
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--unlabeled-fraction", type=float, default=0.25)
+    sp.add_argument("--splits", nargs="*", default=["train-clean-100", "dev-clean"])
+    sp.set_defaults(fn=cmd_prepare_data)
+
+    sp = sub.add_parser("train", help="supervised CTC training")
+    _common_data_args(sp)
+    _common_model_args(sp)
+    sp.add_argument("--epochs", type=int, default=15)
+    sp.add_argument("--lr", type=float, default=2e-5)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--no-specaugment", action="store_true")
+    sp.add_argument("--save", default=None)
+    sp.add_argument("--plots", default=None)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval", help="evaluate a split")
+    _common_data_args(sp)
+    _common_model_args(sp)
+    sp.add_argument("--split", default="test")
+    sp.add_argument("--results-dir", default=None)
+    sp.add_argument("--heatmap", action="store_true")
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("nst", help="noisy student training generations")
+    _common_data_args(sp)
+    _common_model_args(sp)
+    sp.add_argument("--ft-lr", type=float, default=3e-6)
+    sp.add_argument("--generations", type=int, default=3)
+    sp.add_argument("--gen-epochs", type=int, default=1)
+    sp.add_argument("--work-dir", default="nst_work")
+    sp.set_defaults(fn=cmd_nst)
+
+    sp = sub.add_parser("pretrain", help="wav2vec-style contrastive pretraining")
+    _common_data_args(sp)
+    _common_model_args(sp)
+    sp.add_argument("--epochs", type=int, default=100)
+    sp.add_argument("--lr", type=float, default=3e-5)
+    sp.add_argument("--save", default=None)
+    sp.set_defaults(fn=cmd_pretrain)
+
+    sp = sub.add_parser("benchmark", help="run bench.py")
+    sp.set_defaults(fn=cmd_benchmark)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -141,7 +141,18 @@ class BucketedDataset:
         )
 
     def _audio_len(self, i: int) -> int:
-        return len(self._audio(i))
+        # header-only probe: native wavio.probe or stdlib wave — no decode,
+        # no whole-dataset RAM cache at init (unlike `speechcommands.py:60-124`)
+        from nn_conformer_for_speech_recognition_tpu.data import native_loader as NL
+
+        path = self.utterances[i].audio_path
+        if NL.native_available():
+            n, sr = NL._load_native().probe(path)
+            return int(n)
+        import wave
+
+        with wave.open(path, "rb") as w:
+            return w.getnframes()
 
     def _audio(self, i: int) -> np.ndarray:
         if i in self._cache:
@@ -183,22 +194,46 @@ class BucketedDataset:
             yield self.make_batch(idxs, self.bucket_boundaries[b])
 
     def make_batch(self, idxs: np.ndarray, pad_to: int) -> Batch:
+        from nn_conformer_for_speech_recognition_tpu.data import native_loader as NL
+
         bsz = self.batch_size
         audio = np.zeros((bsz, pad_to), np.float32)
         alen = np.zeros((bsz,), np.int32)
         targets = np.full((bsz, self.max_target_len), self.vocab.pad_id, np.int32)
         tlen = np.zeros((bsz,), np.int32)
         indices = np.full((bsz,), -1, np.int64)
+
+        # batched native decode for cache misses (multithreaded, GIL-free)
+        misses = [int(i) for i in idxs if int(i) not in self._cache]
+        if misses and NL.native_available():
+            paths = [self.utterances[i].audio_path for i in misses]
+            buf = np.zeros((len(misses), pad_to), np.float32)
+            blen = np.zeros((len(misses),), np.int32)
+            NL.decode_batch(paths, buf, blen)
+            if self.cache_audio:
+                for j, i in enumerate(misses):
+                    self._cache[i] = buf[j, : blen[j]].copy()
+            else:
+                self._batch_scratch = {i: buf[j, : blen[j]] for j, i in enumerate(misses)}
+
+        scratch = getattr(self, "_batch_scratch", {})
         for row, i in enumerate(idxs):
-            x = self._audio(int(i))[:pad_to]
+            i = int(i)
+            if i in self._cache:
+                x = self._cache[i][:pad_to]
+            elif i in scratch:
+                x = scratch[i][:pad_to]
+            else:
+                x = self._audio(i)[:pad_to]
             audio[row, : len(x)] = x
             alen[row] = len(x)
-            u = self.utterances[int(i)]
+            u = self.utterances[i]
             if u.labeled:
                 ids = self.vocab.parse(u.transcript)[: self.max_target_len]
                 targets[row, : len(ids)] = ids
                 tlen[row] = len(ids)
             indices[row] = i
+        self._batch_scratch = {}
         return Batch(audio, alen, targets, tlen, indices)
 
     # ---- NST support ------------------------------------------------------

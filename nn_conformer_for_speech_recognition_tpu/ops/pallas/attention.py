@@ -1,0 +1,233 @@
+"""Flash attention Pallas kernel with relative-position bias + length masking.
+
+Blockwise online-softmax attention (Dao et al.; tiling per the JAX Pallas
+flash implementation): the (T, T) score matrix is never materialised —
+per-(batch, head, q-tile) the kernel walks kv-tiles maintaining running max
+``m``, normaliser ``l`` and output accumulator in VMEM, all in f32.
+
+The Transformer-XL relative-position term (q+v_bias)·r_{j-i} is supplied as
+an additive bias input (computed once per layer by XLA's take_along_axis
+path, `models/conformer.py`), and the content bias u is folded into q before
+the kernel — so the kernel computes softmax(qu·kᵀ·scale + bias + mask) · v
+with no interior gathers.  Length masking uses broadcasted_iota against the
+per-batch valid length (mask_value −1e30, not −inf, to keep exp() NaN-free).
+
+Backward runs through ``jax.custom_vjp`` with the jnp reference einsums
+(XLA-fused); the Pallas forward is what eval/NST-labeling and the fwd pass
+of training ride.  Supersedes the reference's `nn.MultiheadAttention` usage
+(`unused_lib/conformer.py:92-105`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -1e30
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def flash_attention_reference(
+    qu: jnp.ndarray,  # (B, T, H, dh) — q + u_bias
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,  # (B, H, T, T) additive (rel-pos term, pre-scaled or not)
+    lengths: jnp.ndarray,  # (B,)
+    scale: float,
+) -> jnp.ndarray:
+    t = qu.shape[1]
+    scores = jnp.einsum("bihd,bjhd->bhij", qu, k, preferred_element_type=jnp.float32)
+    scores = (scores + bias) * scale
+    mask = (jnp.arange(t)[None, :] < lengths[:, None])[:, None, None, :]
+    scores = jnp.where(mask, scores, MASK_VALUE)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhij,bjhd->bihd", p, v).astype(qu.dtype)
+
+
+def _flash_kernel(
+    len_ref,  # SMEM (B,) int32
+    qu_ref,  # (1, 1, block_q, dh)
+    k_ref,  # (1, 1, block_k, dh)
+    v_ref,  # (1, 1, block_k, dh)
+    bias_ref,  # (1, 1, block_q, block_k)
+    o_ref,  # (1, 1, block_q, dh)
+    m_scr,  # VMEM (block_q, LANES)
+    l_scr,  # VMEM (block_q, LANES)
+    acc_scr,  # VMEM (block_q, dh)
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    kv_tiles: int,
+):
+    b = pl.program_id(0)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, MASK_VALUE, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    qu = qu_ref[0, 0]
+    kk = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        qu, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_k)
+    s = (s + bias_ref[0, 0]) * scale
+
+    # length mask on keys
+    valid_len = len_ref[b]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
+    s = jnp.where(col < valid_len, s, MASK_VALUE)
+
+    m_prev = m_scr[:, :1]  # (block_q, 1)
+    l_prev = l_scr[:, :1]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+    vv = v_ref[0, 0]
+    o_curr = jax.lax.dot(
+        p.astype(vv.dtype), vv, preferred_element_type=jnp.float32
+    )
+    acc_scr[...] = acc_scr[...] * alpha + o_curr
+
+    @pl.when(kv_idx == kv_tiles - 1)
+    def _store():
+        l_final = l_scr[:, :1]
+        inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0, 0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_forward(
+    qu, k, v, bias, lengths, scale, block_q=128, block_k=128, interpret=False
+):
+    b, t, h, dh = qu.shape
+    t_pad = _round_up(t, max(block_q, block_k))
+    dh_pad = _round_up(dh, LANES)
+
+    def pad_qkv(x):
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, dh_pad - dh)))
+
+    qu_p = jnp.moveaxis(pad_qkv(qu), 2, 1)  # (B, H, T_pad, dh_pad)
+    k_p = jnp.moveaxis(pad_qkv(k), 2, 1)
+    v_p = jnp.moveaxis(pad_qkv(v), 2, 1)
+    bias_p = jnp.pad(bias, ((0, 0), (0, 0), (0, t_pad - t), (0, t_pad - t)))
+
+    q_tiles = t_pad // block_q
+    kv_tiles = t_pad // block_k
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel,
+            scale=scale,
+            block_q=block_q,
+            block_k=block_k,
+            kv_tiles=kv_tiles,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, q_tiles, kv_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, dh_pad), lambda b_, h_, q_, kv_, *_refs: (b_, h_, q_, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, dh_pad), lambda b_, h_, q_, kv_, *_refs: (b_, h_, kv_, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, dh_pad), lambda b_, h_, q_, kv_, *_refs: (b_, h_, kv_, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_q, block_k), lambda b_, h_, q_, kv_, *_refs: (b_, h_, q_, kv_)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, dh_pad), lambda b_, h_, q_, kv_, *_refs: (b_, h_, q_, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, dh_pad), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, dh_pad), qu.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qu_p, k_p, v_p, bias_p)
+    return jnp.moveaxis(out, 1, 2)[:, :t, :, :dh]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def flash_attention(qu, k, v, bias, lengths, scale):
+    """(B, T, H, dh) attention with additive bias and valid-length masking."""
+    return _flash_forward(qu, k, v, bias, lengths, scale)
+
+
+def _fa_fwd(qu, k, v, bias, lengths, scale):
+    return _flash_forward(qu, k, v, bias, lengths, scale), (qu, k, v, bias, lengths)
+
+
+def _fa_bwd(scale, res, g):
+    qu, k, v, bias, lengths = res
+    t = qu.shape[1]
+    scores = jnp.einsum("bihd,bjhd->bhij", qu, k, preferred_element_type=jnp.float32)
+    scores = (scores + bias) * scale
+    mask = (jnp.arange(t)[None, :] < lengths[:, None])[:, None, None, :]
+    scores = jnp.where(mask, scores, MASK_VALUE)
+    p = jax.nn.softmax(scores, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhij,bihd->bjhd", p, g32).astype(v.dtype)
+    dp = jnp.einsum("bihd,bjhd->bhij", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = jnp.where(mask, ds, 0.0)
+    dbias = (ds * scale).astype(bias.dtype)
+    dqu = jnp.einsum("bhij,bjhd->bihd", ds * scale, k.astype(jnp.float32)).astype(qu.dtype)
+    dk = jnp.einsum("bhij,bihd->bjhd", ds * scale, qu.astype(jnp.float32)).astype(k.dtype)
+    return dqu, dk, dv, dbias, None
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def rel_attention_pallas(
+    q: jnp.ndarray,  # (B, T, H, dh)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    p: jnp.ndarray,  # (2T-1, H, dh) projected rel-pos embeddings
+    u_bias: jnp.ndarray,  # (H, dh)
+    v_bias: jnp.ndarray,  # (H, dh)
+    mask: jnp.ndarray,  # (B, T) bool validity
+    scale: float,
+) -> jnp.ndarray:
+    """Drop-in for the einsum path in `models/conformer.RelPositionMHSA`:
+    content bias folds into q; the position term becomes the kernel's
+    additive bias via the same take_along_axis skew as the jnp path."""
+    b, t, h, dh = q.shape
+    qu = q + u_bias[None, None]
+    qv = q + v_bias[None, None]
+    bd_full = jnp.einsum("bihd,lhd->bhil", qv, p, preferred_element_type=jnp.float32)
+    idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)
+    bias = jnp.take_along_axis(bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1)
+    lengths = jnp.sum(mask.astype(jnp.int32), axis=1)
+    return flash_attention(qu, k, v, bias, lengths, scale)

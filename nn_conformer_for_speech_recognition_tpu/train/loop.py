@@ -139,6 +139,34 @@ def make_predict_step(model: ConformerCTC, feat_cfg: FeatureConfig, pad_id: int)
     return predict_step
 
 
+def make_beam_step(
+    model: ConformerCTC,
+    feat_cfg: FeatureConfig,
+    blank_id: int,
+    beam: int = 8,
+    prune: int = 16,
+    max_label_len: int = 64,
+):
+    """Vectorized CTC beam search over a batch — on-device, static shapes
+    (`ops/decode.ctc_beam_search`; SURVEY.md §7 "CTC beam search on TPU")."""
+
+    def beam_step(state: TrainState, audio, audio_lengths):
+        feats, frame_lengths = _featurize(audio, audio_lengths, feat_cfg)
+        log_probs, out_lengths = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats,
+            frame_lengths,
+            deterministic=True,
+        )
+        toks, lens, scores = ctc_beam_search(
+            log_probs, out_lengths, blank_id=blank_id, beam=beam, prune=prune,
+            max_label_len=max_label_len,
+        )
+        return toks[:, 0], lens[:, 0], scores[:, 0]  # 1-best
+
+    return beam_step
+
+
 class Trainer:
     """Host-side orchestration: epochs, metrics, checkpoints, NST labeling.
 
@@ -192,6 +220,7 @@ class Trainer:
         )
         self._eval_step = jax.jit(make_eval_step(model, feat_cfg, blank, pad))
         self._predict_step = jax.jit(make_predict_step(model, feat_cfg, pad))
+        self._beam_step = jax.jit(make_beam_step(model, feat_cfg, blank))
 
         self.state: Optional[TrainState] = None
         self.history: Dict[str, List[float]] = {
@@ -212,7 +241,10 @@ class Trainer:
                 jnp.asarray(example.audio_lengths[:2]),
                 self.feat_cfg,
             )
-        variables = self.model.init(
+        # jit the init: on the axon TPU tunnel, eager (op-by-op) execution
+        # dispatches one remote compile per primitive — minutes for a full
+        # model init; jitted it is one program.
+        variables = jax.jit(self.model.init)(
             {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
             feats, flens,
         )
@@ -277,9 +309,16 @@ class Trainer:
     # ------------------------------------------------------------------ eval
 
     def evaluate(
-        self, dataset: BucketedDataset, dump_path: Optional[str] = None
+        self,
+        dataset: BucketedDataset,
+        dump_path: Optional[str] = None,
+        decode: str = "greedy",
     ) -> Tuple[float, float]:
-        """Mean loss and corpus WER over a split (greedy decode)."""
+        """Mean loss and corpus WER over a split.
+
+        ``decode='greedy'`` matches the reference predict (`asrnn.py:48-58`);
+        ``decode='beam'`` runs the on-device vectorized CTC beam search (the
+        capability the reference lacks)."""
         assert self.state is not None
         losses = M.Mean()
         refs: List[str] = []
@@ -288,7 +327,15 @@ class Trainer:
             audio, alen, tgt, tlen = self._put(batch)
             loss, ids, _ = self._eval_step(self.state, audio, alen, tgt, tlen)
             losses.update(float(loss), batch.size)
-            ids = np.asarray(ids)
+            if decode == "beam":
+                toks, lens, _scores = self._beam_step(self.state, audio, alen)
+                toks, lens = np.asarray(toks), np.asarray(lens)
+                ids = np.where(
+                    np.arange(toks.shape[1])[None, :] < lens[:, None],
+                    toks, self.vocab.pad_id,
+                )
+            else:
+                ids = np.asarray(ids)
             for row, idx in enumerate(batch.indices):
                 if idx < 0:
                     continue

@@ -1,0 +1,65 @@
+"""CLI end-to-end tests (tiny synthetic corpus, virtual CPU mesh)."""
+
+import json
+import os
+
+import pytest
+
+from nn_conformer_for_speech_recognition_tpu.cli.main import main
+from nn_conformer_for_speech_recognition_tpu.data.audio import (
+    make_synthetic_corpus,
+    write_wav,
+    synth_word_audio,
+)
+
+
+@pytest.fixture(scope="module")
+def manifest_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("clicorpus"))
+    make_synthetic_corpus(root, ["go", "stop", "yes", "no"], n_train=8, n_val=8,
+                          n_test=8, n_unlabeled=8, seed=0)
+    return root
+
+
+def test_prepare_data_speechcommands(tmp_path, capsys):
+    # fabricate a SpeechCommands layout: label dirs + speaker-hash filenames
+    root = tmp_path / "sc"
+    for label in ("go", "stop"):
+        d = root / label
+        d.mkdir(parents=True)
+        for spk in range(4):
+            wav = synth_word_audio(label, duration=0.1)
+            write_wav(str(d / f"{spk:08x}_nohash_0.wav"), wav, 16000)
+    out = str(tmp_path / "manifests")
+    rc = main(["prepare-data", "--layout", "speechcommands",
+               "--root", str(root), "--out", out,
+               "--unlabeled-fraction", "0.25"])
+    assert rc == 0
+    produced = json.loads(capsys.readouterr().out)
+    assert set(produced) == {"train", "validation", "test", "unlabeled"}
+    train_lines = open(produced["train"]).read().strip().splitlines()
+    unlab_lines = [l for l in open(produced["unlabeled"]).read().splitlines() if l]
+    assert len(train_lines) + len(unlab_lines) == 8
+    assert all("\t" in l and l.split("\t")[1] for l in train_lines)
+
+
+def test_cli_train_eval_roundtrip(manifest_dir, tmp_path, capsys):
+    ckpt = str(tmp_path / "ckpt")
+    rc = main([
+        "train", "--manifest-dir", manifest_dir, "--model", "reference",
+        "--compute-dtype", "float32", "--batch-size", "8", "--epochs", "1",
+        "--lr", "1e-4", "--no-specaugment", "--n-mels", "40",
+        "--max-target-len", "4", "--save", ckpt,
+    ])
+    assert rc == 0
+    assert os.path.exists(ckpt)
+
+    rc = main([
+        "eval", "--manifest-dir", manifest_dir, "--model", "reference",
+        "--compute-dtype", "float32", "--batch-size", "8", "--n-mels", "40",
+        "--max-target-len", "4", "--split", "test", "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert res["split"] == "test" and "wer" in res

@@ -1,0 +1,172 @@
+"""LM and contrastive-pretraining tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nn_conformer_for_speech_recognition_tpu import config as C
+from nn_conformer_for_speech_recognition_tpu.models.lm import (
+    CausalWordLM,
+    TransformerLM,
+    fuse_lm_weights_into_asr,
+    shallow_fusion,
+)
+from nn_conformer_for_speech_recognition_tpu.models.pretrain import (
+    PretrainModel,
+    contrastive_loss,
+)
+
+
+def test_transformer_lm_shapes(rng):
+    m = TransformerLM(src_vocab=40, tgt_vocab=30, d=32, heads=2, ffn=64,
+                      enc_layers=2, dec_layers=2)
+    src = jnp.asarray(rng.integers(0, 40, (2, 7)).astype(np.int32))
+    tgt = jnp.asarray(rng.integers(0, 30, (2, 5)).astype(np.int32))
+    params = m.init(jax.random.key(0), src, tgt)
+    out = m.apply(params, src, tgt)
+    assert out.shape == (2, 5, 30)
+
+
+def test_lm_causality(rng):
+    """Changing a future target token must not change past logits."""
+    m = TransformerLM(src_vocab=10, tgt_vocab=10, d=16, heads=2, ffn=32,
+                      enc_layers=1, dec_layers=1, dropout=0.0)
+    src = jnp.asarray(rng.integers(0, 10, (1, 4)).astype(np.int32))
+    tgt = jnp.asarray(rng.integers(0, 10, (1, 6)).astype(np.int32))
+    params = m.init(jax.random.key(0), src, tgt)
+    out1 = m.apply(params, src, tgt)
+    tgt2 = tgt.at[0, 5].set((tgt[0, 5] + 1) % 10)
+    out2 = m.apply(params, src, tgt2)
+    np.testing.assert_allclose(np.asarray(out1[:, :5]), np.asarray(out2[:, :5]), atol=1e-5)
+
+
+def test_causal_word_lm_next_token(rng):
+    m = CausalWordLM(vocab=12, d=16, heads=2, ffn=32, layers=1, dropout=0.0)
+    ids = jnp.asarray(rng.integers(0, 12, (3, 8)).astype(np.int32))
+    params = m.init(jax.random.key(0), ids)
+    out = m.apply(params, ids)
+    assert out.shape == (3, 8, 12)
+
+
+def test_shallow_fusion_changes_logits(rng):
+    lm = CausalWordLM(vocab=9, d=16, heads=2, ffn=32, layers=1, dropout=0.0)
+    ids0 = jnp.zeros((2, 6), jnp.int32)
+    params = lm.init(jax.random.key(0), ids0)
+    asr_lp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((2, 6, 9)).astype(np.float32)), axis=-1
+    )
+    fused = shallow_fusion(asr_lp, lambda ids: lm.apply(params, ids), lm_weight=0.5)
+    assert fused.shape == asr_lp.shape
+    assert not np.allclose(np.asarray(fused), np.asarray(asr_lp))
+
+
+def test_weight_fusion_modifies_mhsa(rng):
+    """fuse_models semantics (`runner.py:78-101`): ASR attention kernels move."""
+    asr_params = {
+        "encoder": {
+            "block_0": {
+                "mhsa": {
+                    "qkv": {"kernel": jnp.ones((8, 24))},
+                    "out_proj": {"kernel": jnp.ones((8, 8))},
+                }
+            }
+        }
+    }
+    lm_params = {
+        "enc_0": {
+            "self_attn": {
+                "query": {"kernel": jnp.full((8, 2, 12), 0.5)},
+                "key": {"kernel": jnp.full((8, 2, 12), 0.25)},
+            }
+        }
+    }
+    fused = fuse_lm_weights_into_asr(asr_params, lm_params)
+    q = np.asarray(fused["encoder"]["block_0"]["mhsa"]["qkv"]["kernel"])
+    assert np.allclose(q, 1.5)  # 1 + 0.5
+    o = np.asarray(fused["encoder"]["block_0"]["mhsa"]["out_proj"]["kernel"])
+    assert np.allclose(o, 1.25)  # 1 + 0.25
+
+
+def _pt_cfgs():
+    enc = C.ConformerConfig(num_blocks=1, d_model=16, num_heads=2, ffn_dim=32,
+                            conv_kernel_size=5, dropout=0.0)
+    mcfg = C.ModelConfig(
+        encoder=enc, decoder=C.DecoderConfig(projection_dim=8, lstm_hidden=8),
+        n_mels=8, subsampling=C.SubsamplingConfig(channels=(4, 4)),
+    )
+    pcfg = C.PretrainConfig(target_dim=16, distractors_k=3)
+    return mcfg, pcfg
+
+
+def test_pretrain_model_shapes(rng):
+    mcfg, pcfg = _pt_cfgs()
+    m = PretrainModel(mcfg, pcfg)
+    feats = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    flens = jnp.array([16, 10])
+    variables = m.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1),
+         "gumbel": jax.random.key(2), "dropout": jax.random.key(3)},
+        feats, flens, deterministic=False,
+    )
+    (ctx, tgt, mask_pos, lengths), _ = m.apply(
+        variables, feats, flens, deterministic=False,
+        rngs={"mask": jax.random.key(4), "gumbel": jax.random.key(5),
+              "dropout": jax.random.key(6)},
+        mutable=["batch_stats"],
+    )
+    assert ctx.shape == (2, 4, 16) and tgt.shape == (2, 4, 16)
+    assert mask_pos.shape == (2, 4)
+    # no masks outside valid region
+    assert not np.asarray(mask_pos)[1, 3:].any()
+
+
+def test_contrastive_loss_prefers_aligned(rng):
+    """Loss is lower when context == targets than for random context."""
+    b, t, d = 2, 12, 8
+    tgt = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    mask = jnp.ones((b, t), bool)
+    lengths = jnp.full((b,), t)
+    good = contrastive_loss(tgt, tgt, mask, lengths, jax.random.key(0),
+                            diversity_alpha=0.0)
+    bad = contrastive_loss(
+        jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32)),
+        tgt, mask, lengths, jax.random.key(0), diversity_alpha=0.0,
+    )
+    assert float(good) < float(bad)
+
+
+def test_contrastive_loss_grad_finite(rng):
+    b, t, d = 2, 8, 6
+    ctx = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    mask = jnp.ones((b, t), bool)
+    lengths = jnp.full((b,), t)
+
+    g = jax.grad(
+        lambda c: contrastive_loss(c, tgt, mask, lengths, jax.random.key(1))
+    )(ctx)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pretrain_trainer_loss_decreases(rng, tmp_path):
+    from nn_conformer_for_speech_recognition_tpu.data.audio import make_synthetic_corpus
+    from nn_conformer_for_speech_recognition_tpu.data.datasets import (
+        BucketedDataset, load_manifest)
+    from nn_conformer_for_speech_recognition_tpu.data.vocab import WordVocab
+    from nn_conformer_for_speech_recognition_tpu.train.pretrain_loop import PretrainTrainer
+
+    man = make_synthetic_corpus(str(tmp_path), ["go", "stop"], n_train=0, n_val=0,
+                                n_test=0, n_unlabeled=8, seed=0)
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>", "go", "stop"])
+    feat_cfg = C.FeatureConfig(n_fft=256, hop_length=256, n_mels=8)
+    ds = BucketedDataset(load_manifest(man["unlabeled"]), vocab, batch_size=8,
+                         bucket_boundaries=[8000], max_target_len=4)
+    mcfg, pcfg = _pt_cfgs()
+    import dataclasses
+    pcfg = dataclasses.replace(pcfg, learning_rate=1e-3, mask_probability=0.3)
+    tr = PretrainTrainer(mcfg, pcfg, feat_cfg)
+    tr.init_state(seed=0)
+    tr.train(ds, epochs=8)
+    h = tr.history["pretrain_loss"]
+    assert h[-1] < h[0], h

@@ -1,0 +1,195 @@
+"""Pallas kernel tests vs. pure-jnp references (interpret mode on CPU).
+
+Each kernel has a jnp twin (SURVEY.md §7 build order item 6); compiled-mode
+parity on real TPU hardware is exercised by bench/driver runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nn_conformer_for_speech_recognition_tpu.config import FeatureConfig
+from nn_conformer_for_speech_recognition_tpu.ops.features import log_mel_spectrogram
+from nn_conformer_for_speech_recognition_tpu.ops.pallas.attention import (
+    _flash_forward,
+    flash_attention,
+    flash_attention_reference,
+    rel_attention_pallas,
+)
+from nn_conformer_for_speech_recognition_tpu.ops.pallas.depthwise_conv import (
+    _dw_forward,
+    depthwise_conv1d_pallas,
+    depthwise_conv1d_reference,
+)
+from nn_conformer_for_speech_recognition_tpu.ops.pallas.stft_logmel import (
+    stft_logmel_pallas,
+)
+
+
+# ---------------------------------------------------------------- stft_logmel
+
+
+def test_stft_logmel_matches_jnp(rng):
+    cfg = FeatureConfig(normalize="none")
+    x = jnp.asarray(rng.standard_normal((3, 16000)).astype(np.float32) * 0.1)
+    got = stft_logmel_pallas(x, cfg, interpret=True)
+    ref, _ = log_mel_spectrogram(x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_stft_logmel_unaligned_geometry_falls_back(rng):
+    cfg = FeatureConfig(n_fft=400, hop_length=160, normalize="none")
+    x = jnp.asarray(rng.standard_normal((2, 3200)).astype(np.float32))
+    got = stft_logmel_pallas(x, cfg, interpret=True)
+    ref, _ = log_mel_spectrogram(x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_stft_logmel_odd_length(rng):
+    cfg = FeatureConfig(normalize="none")
+    x = jnp.asarray(rng.standard_normal((1, 24000)).astype(np.float32))
+    got = stft_logmel_pallas(x, cfg, interpret=True)
+    assert got.shape == (1, 24000 // 512 + 1, 40)
+
+
+# ------------------------------------------------------------- depthwise conv
+
+
+def test_depthwise_conv_matches_reference(rng):
+    x = jnp.asarray(rng.standard_normal((2, 40, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((33, 64)).astype(np.float32) * 0.1)
+    got = _dw_forward(x, w, interpret=True)
+    ref = depthwise_conv1d_reference(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_depthwise_conv_matches_flax_conv(rng):
+    """Same semantics as nn.Conv(feature_group_count=C, SAME) used in the
+    non-pallas ConvModule path."""
+    import flax.linen as nn
+
+    c = 16
+    x = jnp.asarray(rng.standard_normal((1, 20, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((7, c)).astype(np.float32))
+    conv = nn.Conv(features=c, kernel_size=(7,), padding="SAME",
+                   feature_group_count=c, use_bias=False)
+    params = {"params": {"kernel": w[:, None, :]}}
+    ref = conv.apply(params, x)
+    got = depthwise_conv1d_reference(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_depthwise_conv_grads(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((5, 8)).astype(np.float32))
+
+    def f_ref(x, w):
+        return jnp.sum(depthwise_conv1d_reference(x, w) ** 2)
+
+    def f_k(x, w):
+        return jnp.sum(depthwise_conv1d_reference(x, w) ** 2)
+
+    gx_ref, gw_ref = jax.grad(f_ref, argnums=(0, 1))(x, w)
+
+    # custom_vjp backward vs autodiff-of-reference
+    def f_custom(x, w):
+        from nn_conformer_for_speech_recognition_tpu.ops.pallas import depthwise_conv as D
+
+        out, vjp = jax.vjp(lambda a, b: D._dw_bwd((a, b), jnp.ones((2, 16, 8))), x, w)
+        return out
+
+    dx, dw = f_custom(x, w)
+
+    def f_lin(x, w):
+        return jnp.sum(depthwise_conv1d_reference(x, w))
+
+    gx_lin, gw_lin = jax.grad(f_lin, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(gx_lin), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(gw_lin), atol=1e-4)
+
+
+# ------------------------------------------------------------ flash attention
+
+
+def _attn_case(rng, b=2, t=24, h=2, dh=16):
+    qu = rng.standard_normal((b, t, h, dh)).astype(np.float32)
+    k = rng.standard_normal((b, t, h, dh)).astype(np.float32)
+    v = rng.standard_normal((b, t, h, dh)).astype(np.float32)
+    bias = rng.standard_normal((b, h, t, t)).astype(np.float32) * 0.2
+    lengths = np.array([t, t // 2], np.int32)[:b]
+    return map(jnp.asarray, (qu, k, v, bias, lengths))
+
+
+def test_flash_forward_matches_reference(rng):
+    qu, k, v, bias, lengths = _attn_case(rng)
+    got = _flash_forward(qu, k, v, bias, lengths, 0.25, block_q=8, block_k=8,
+                         interpret=True)
+    ref = flash_attention_reference(qu, k, v, bias, lengths, 0.25)
+    # padded-key rows of the output for masked queries are irrelevant; compare
+    # valid regions per example
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(ref)[0], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got)[1, :12], np.asarray(ref)[1, :12], atol=1e-4
+    )
+
+
+def test_flash_forward_single_tile(rng):
+    qu, k, v, bias, lengths = _attn_case(rng, b=1, t=16)
+    got = _flash_forward(qu, k, v, bias, lengths, 1.0, block_q=16, block_k=16,
+                         interpret=True)
+    ref = flash_attention_reference(qu, k, v, bias, lengths, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_flash_backward_matches_reference_grads(rng):
+    qu, k, v, bias, lengths = _attn_case(rng, b=1, t=12, h=1, dh=8)
+
+    def loss_ref(qu, k, v, bias):
+        return jnp.sum(flash_attention_reference(qu, k, v, bias, lengths, 0.5) ** 2)
+
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qu, k, v, bias)
+
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas import attention as A
+
+    def loss_custom(qu, k, v, bias):
+        out = flash_attention_reference(qu, k, v, bias, lengths, 0.5)
+        # reuse the custom bwd directly
+        g = 2 * out
+        return A._fa_bwd(0.5, (qu, k, v, bias, lengths), g)
+
+    dqu, dk, dv, dbias, _ = loss_custom(qu, k, v, bias)
+    np.testing.assert_allclose(np.asarray(dqu), np.asarray(grads_ref[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(grads_ref[1]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(grads_ref[2]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(grads_ref[3]), atol=2e-4)
+
+
+def test_rel_attention_pallas_matches_einsum_path(rng, monkeypatch):
+    """End-to-end MHSA parity: pallas path == jnp einsum path in the model."""
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.models.conformer import (
+        RelPositionMHSA, length_mask)
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas import attention as A
+
+    # force interpret mode inside the model's pallas call
+    orig = A._flash_forward
+    monkeypatch.setattr(
+        A, "_flash_forward",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+
+    d, hH = 32, 2
+    x = jnp.asarray(rng.standard_normal((2, 12, d)).astype(np.float32))
+    mask = length_mask(jnp.array([12, 7]), 12)
+
+    m_ref = RelPositionMHSA(d, hH, 0.0, use_relative=True, use_pallas=False)
+    params = m_ref.init(jax.random.key(0), x, mask, True)
+    out_ref = m_ref.apply(params, x, mask, True)
+
+    m_pl = RelPositionMHSA(d, hH, 0.0, use_relative=True, use_pallas=True)
+    out_pl = m_pl.apply(params, x, mask, True)
+
+    r, p_ = np.asarray(out_ref), np.asarray(out_pl)
+    np.testing.assert_allclose(p_[0], r[0], atol=2e-4)
+    np.testing.assert_allclose(p_[1, :7], r[1, :7], atol=2e-4)
