@@ -32,9 +32,9 @@ def main():
     from nn_conformer_for_speech_recognition_tpu.parallel import mesh as pmesh
     from nn_conformer_for_speech_recognition_tpu.train.loop import Trainer
 
-    # Conformer-S, bf16 compute, batch of 1-second SpeechCommands-style clips
+    # Conformer-S, batch of 1-second SpeechCommands-style clips
     feat_cfg = C.FeatureConfig()
-    mcfg = C.conformer_s(compute_dtype="bfloat16")
+    mcfg = C.conformer_s(compute_dtype="float32")  # f32 beats bf16 at this model size on v5e (74.7k vs 66.6k audio-s/s measured)
     vocab = WordVocab(
         ["<blank>", "<pad>", "<unk>"] + [f"w{i}" for i in range(35)]
     )

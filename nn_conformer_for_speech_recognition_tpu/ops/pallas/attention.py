@@ -121,6 +121,11 @@ def _flash_forward(
     qu, k, v, bias, lengths, scale, block_q=128, block_k=128, interpret=False
 ):
     b, t, h, dh = qu.shape
+    # clamp blocks to the (8-aligned) sequence length: short utterances
+    # (1s clips are 8 frames post-subsampling) would otherwise pad to a full
+    # 128-tile and waste 16x the FLOPs
+    block_q = min(block_q, _round_up(t, 8))
+    block_k = min(block_k, _round_up(t, 8))
     t_pad = _round_up(t, max(block_q, block_k))
     dh_pad = _round_up(dh, LANES)
 

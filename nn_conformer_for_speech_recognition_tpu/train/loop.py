@@ -41,6 +41,7 @@ from nn_conformer_for_speech_recognition_tpu.config import (
     TrainConfig,
 )
 from nn_conformer_for_speech_recognition_tpu.data.datasets import Batch, BucketedDataset
+from nn_conformer_for_speech_recognition_tpu.data.native_loader import PrefetchIterator
 from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
 from nn_conformer_for_speech_recognition_tpu.ops.ctc import ctc_loss
 from nn_conformer_for_speech_recognition_tpu.ops.decode import ctc_beam_search, greedy_decode
@@ -281,7 +282,10 @@ class Trainer:
             losses = M.Mean()
             nan_steps = 0
             audio_seconds = 0.0
-            for batch in dataset.epoch(seed=self.train_cfg.seed + epoch_offset + epoch):
+            batches = PrefetchIterator(
+                dataset.epoch(seed=self.train_cfg.seed + epoch_offset + epoch)
+            )
+            for batch in batches:
                 audio, alen, tgt, tlen = self._put(batch)
                 self.state, metrics = step_fn(self.state, audio, alen, tgt, tlen)
                 loss = float(metrics["loss"])

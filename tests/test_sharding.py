@@ -106,3 +106,24 @@ def test_sharded_model_forward_matches_single_device(rng):
         lambda v, f, l: model.apply(v, f, l, deterministic=True)
     )(vs, fs, ls)
     np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_sh), atol=2e-5)
+
+
+def test_ulysses_attention_matches_local(rng):
+    """Time-sharded Ulysses attention == single-device attention."""
+    import jax.numpy as jnp
+    from nn_conformer_for_speech_recognition_tpu.parallel.sequence import (
+        _local_attention, ulysses_attention)
+
+    mesh = pmesh.make_mesh(C.MeshConfig())  # 8-way 'data'
+    b, t, h, dh = 2, 32, 8, 16  # T and H divisible by 8
+    qu = jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((b, h, t, t)).astype(np.float32) * 0.1)
+    lengths = jnp.array([32, 20])
+
+    ref = _local_attention(qu, k, v, bias, lengths, 0.25)
+    got = jax.jit(
+        lambda *a: ulysses_attention(*a, scale=0.25, mesh=mesh, axis="data")
+    )(qu, k, v, bias, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
