@@ -282,6 +282,10 @@ class TrainConfig:
     # (`speechcommands.py:188-190`); bucket boundaries in frames.
     bucket_boundaries: Tuple[int, ...] = ()
     max_frames: Optional[int] = None
+    # waveform gaussian-noise augmentation, the reference's 'balanced' data
+    # path (`speechcommands.py:227-252`)
+    add_noise: bool = False
+    noise_std: float = 0.01
 
 
 @_frozen

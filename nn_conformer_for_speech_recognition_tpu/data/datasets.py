@@ -382,3 +382,35 @@ def librispeech_manifests(root: str, out_dir: str, splits: Sequence[str]) -> Dic
         save_manifest(mpath, utts)
         manifests[split] = mpath
     return manifests
+
+
+def spokendigits_manifests(out_dir: str, data_dir: Optional[str] = None) -> Dict[str, str]:
+    """Build manifests from the TFDS ``spoken_digit`` dataset — the
+    reference's SpokenDigits pretraining loader (`unused_lib/pretraining/
+    spokendigits.py:15-192`, 8 kHz unlabeled clips).
+
+    Requires ``tensorflow_datasets`` (not in the base image — gated import);
+    clips are exported to WAV so the standard manifest pipeline applies.
+    """
+    try:
+        import tensorflow_datasets as tfds  # gated optional dependency
+    except ImportError as e:
+        raise ImportError(
+            "spokendigits_manifests requires tensorflow_datasets; install it "
+            "or use a synthetic/unlabeled manifest instead"
+        ) from e
+    import numpy as _np
+
+    from nn_conformer_for_speech_recognition_tpu.data.audio import write_wav
+
+    os.makedirs(os.path.join(out_dir, "wavs"), exist_ok=True)
+    ds = tfds.load("spoken_digit", split="train", data_dir=data_dir)
+    utts = []
+    for i, ex in enumerate(tfds.as_numpy(ds)):
+        audio = ex["audio"].astype(_np.float32) / 32768.0
+        path = os.path.join(out_dir, "wavs", f"sd_{i:06d}.wav")
+        write_wav(path, audio, 8000)
+        utts.append(Utterance(path, ""))  # unlabeled (pretraining split)
+    mpath = os.path.join(out_dir, "unlabeled.tsv")
+    save_manifest(mpath, utts)
+    return {"unlabeled": mpath}

@@ -63,11 +63,19 @@ def make_train_step(
     sa_cfg: SpecAugmentConfig,
     blank_id: int,
     use_specaugment: bool = True,
+    noise_std: float = 0.0,
 ):
     """Returns jittable (state, audio, alen, targets, tlen) → (state, metrics)."""
 
     def train_step(state: TrainState, audio, audio_lengths, targets, target_lengths):
-        rng, sa_rng, do_rng = jax.random.split(state.rng, 3)
+        rng, sa_rng, do_rng, nz_rng = jax.random.split(state.rng, 4)
+        if noise_std > 0.0:
+            # waveform gaussian noise (`speechcommands.py:227-252`)
+            from nn_conformer_for_speech_recognition_tpu.ops.specaugment import (
+                add_gaussian_noise,
+            )
+
+            audio = add_gaussian_noise(audio, nz_rng, noise_std)
         feats, frame_lengths = _featurize(audio, audio_lengths, feat_cfg)
         if use_specaugment:
             feats = specaugment(feats, frame_lengths, sa_rng, sa_cfg)
@@ -207,10 +215,12 @@ class Trainer:
 
         blank = vocab.blank_id
         pad = vocab.pad_id
+        noise = train_cfg.noise_std if train_cfg.add_noise else 0.0
         self._train_step = jax.jit(
             make_train_step(
                 model, feat_cfg, train_cfg.specaugment, blank,
                 use_specaugment=train_cfg.use_specaugment,
+                noise_std=noise,
             ),
             donate_argnums=(0,) if train_cfg.donate_state else (),
         )
@@ -350,7 +360,13 @@ class Trainer:
             os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)
             with open(dump_path, "w", encoding="utf-8") as f:
                 f.write(f"pred: {hyps[0]}\ntgt:  {refs[0]}\n")
-        return losses.result(), M.wer(refs, hyps)
+        # cross-host reduction (identity single-process)
+        from nn_conformer_for_speech_recognition_tpu.parallel import multihost as MH
+
+        loss_g, _ = MH.gather_metric(losses.result(), losses.count)
+        nwords = sum(len(r.split()) for r in refs)
+        wer_g, _ = MH.gather_metric(M.wer(refs, hyps), max(nwords, 1))
+        return loss_g, wer_g
 
     # ------------------------------------------------------------- NST labels
 
@@ -368,7 +384,9 @@ class Trainer:
                 if idx < 0:
                     continue
                 labels[int(idx)] = self.vocab.decode_ids(ids[row])
-        return labels
+        from nn_conformer_for_speech_recognition_tpu.parallel import multihost as MH
+
+        return MH.gather_pseudo_labels(labels)
 
     # ------------------------------------------------------------ checkpoints
 
