@@ -68,3 +68,56 @@ def restore_encoder_params(path: str, template_params: Any) -> Any:
         return out
 
     return merge(template_params, restored)
+
+
+class CheckpointManager:
+    """Rotating checkpoint manager: keeps the newest ``keep`` checkpoints
+    (plus an optional 'best' by metric), the durable-training layer the
+    reference's fixed-path ``torch.save`` lacks (`runner.py:48-60`)."""
+
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        self.keep = keep
+        os.makedirs(self.directory, exist_ok=True)
+        self.best_metric: float | None = None
+
+    def _step_dirs(self):
+        out = []
+        for name in os.listdir(self.directory):
+            if name.startswith("step_"):
+                try:
+                    out.append((int(name.split("_")[1]), name))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def save(self, state: TrainState, metric: float | None = None) -> str:
+        step = int(state.step)
+        path = os.path.join(self.directory, f"step_{step:08d}")
+        save_state(path, state)
+        if metric is not None and (self.best_metric is None or metric < self.best_metric):
+            self.best_metric = metric
+            best = os.path.join(self.directory, "best")
+            if os.path.islink(best) or os.path.exists(best):
+                import shutil
+
+                shutil.rmtree(best, ignore_errors=True)
+            import shutil
+
+            shutil.copytree(path, best)
+        # rotate
+        dirs = self._step_dirs()
+        while len(dirs) > self.keep:
+            _, name = dirs.pop(0)
+            import shutil
+
+            shutil.rmtree(os.path.join(self.directory, name), ignore_errors=True)
+        return path
+
+    def latest(self) -> str | None:
+        dirs = self._step_dirs()
+        return os.path.join(self.directory, dirs[-1][1]) if dirs else None
+
+    def restore_latest(self, template: TrainState) -> TrainState | None:
+        path = self.latest()
+        return restore_state(path, template) if path else None

@@ -295,15 +295,23 @@ class Trainer:
             batches = PrefetchIterator(
                 dataset.epoch(seed=self.train_cfg.seed + epoch_offset + epoch)
             )
+            # defer host syncs: keep per-step losses on device, pull once per
+            # epoch (a per-step float() would serialise dispatch on transfer
+            # latency — costly on tunneled/remote TPU setups)
+            step_losses = []
+            step_sizes = []
             for batch in batches:
                 audio, alen, tgt, tlen = self._put(batch)
                 self.state, metrics = step_fn(self.state, audio, alen, tgt, tlen)
-                loss = float(metrics["loss"])
+                step_losses.append(metrics["loss"])
+                step_sizes.append(batch.size)
+                audio_seconds += float(batch.audio_lengths.sum()) / self.feat_cfg.sample_rate
+            for loss_dev, size in zip(np.asarray(jnp.stack(step_losses)), step_sizes):
+                loss = float(loss_dev)
                 if np.isnan(loss):
                     nan_steps += 1
                 else:
-                    losses.update(loss, batch.size)
-                audio_seconds += float(batch.audio_lengths.sum()) / self.feat_cfg.sample_rate
+                    losses.update(loss, size)
             dt = time.time() - t0
             self.history["train_loss"].append(losses.result())
             msg = (

@@ -30,7 +30,7 @@ def tree_finite_report(tree: Any) -> Dict[str, Tuple[int, int]]:
             continue
         nans, infs = int(np.isnan(arr).sum()), int(np.isinf(arr).sum())
         if nans or infs:
-            out["/".join(str(k) for k in path)] = (nans, infs)
+            out[jax.tree_util.keystr(path).lstrip("['").rstrip("']").replace("']['", "/")] = (nans, infs)
     return out
 
 
