@@ -282,7 +282,11 @@ class Trainer:
         val_dataset: Optional[BucketedDataset] = None,
         use_specaugment: Optional[bool] = None,
         epoch_offset: int = 0,
+        checkpoint_manager=None,
     ) -> Dict[str, List[float]]:
+        """Epoch loop; with ``checkpoint_manager`` (train/checkpoint.
+        CheckpointManager) a rotated checkpoint is written per epoch, keyed
+        best-by-val-loss."""
         assert self.state is not None, "call init_state() first"
         sa = self.train_cfg.use_specaugment if use_specaugment is None else use_specaugment
         step_fn = self._train_step if sa else self._train_step_noaug
@@ -326,6 +330,9 @@ class Trainer:
                 self.history["val_wer"].append(vwer)
                 msg += f" val_loss={vloss:.4f} val_wer={100 * vwer:.2f}"
             self.log(msg)
+            if checkpoint_manager is not None:
+                metric = self.history["val_loss"][-1] if val_dataset is not None else None
+                checkpoint_manager.save(self.state, metric=metric)
         return self.history
 
     # ------------------------------------------------------------------ eval

@@ -138,3 +138,41 @@ def test_checkpoint_manager_rotation(tmp_path):
     assert os.path.exists(str(tmp_path / "ckpts" / "best"))
     restored = mgr.restore_latest(state)
     assert int(restored.step) == 3
+
+
+def test_trainer_checkpoint_manager_hook(tmp_path):
+    """Trainer.train writes rotated checkpoints when given a manager."""
+    import jax
+
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.data.audio import make_synthetic_corpus
+    from nn_conformer_for_speech_recognition_tpu.data.datasets import (
+        BucketedDataset, load_manifest)
+    from nn_conformer_for_speech_recognition_tpu.data.vocab import build_vocab
+    from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+    from nn_conformer_for_speech_recognition_tpu.train.checkpoint import CheckpointManager
+    from nn_conformer_for_speech_recognition_tpu.train.loop import Trainer
+
+    man = make_synthetic_corpus(str(tmp_path / "c"), ["go", "stop"], 8, 8, 0, 0)
+    utts = load_manifest(man["train"])
+    vocab = build_vocab("word", [u.transcript for u in utts])
+    ds = BucketedDataset(utts, vocab, 8, bucket_boundaries=[8000], max_target_len=2)
+    val = BucketedDataset(load_manifest(man["validation"]), vocab, 8,
+                          bucket_boundaries=[8000], max_target_len=2)
+    enc = C.ConformerConfig(num_blocks=1, d_model=16, num_heads=2, ffn_dim=32,
+                            conv_kernel_size=5, dropout=0.0)
+    mcfg = C.ModelConfig(encoder=enc,
+                         decoder=C.DecoderConfig(projection_dim=8, lstm_hidden=8),
+                         n_mels=13)
+    tcfg = C.TrainConfig(batch_size=8,
+                         optimizer=C.OptimizerConfig(name="adam", learning_rate=1e-3),
+                         use_specaugment=False, donate_state=False)
+    tr = Trainer(ConformerCTC(mcfg, vocab_size=len(vocab)), vocab,
+                 C.FeatureConfig(n_fft=256, hop_length=256, n_mels=13), tcfg)
+    tr.init_state(seed=0)
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    tr.train(ds, epochs=3, val_dataset=val, checkpoint_manager=mgr)
+    assert mgr.latest() is not None
+    assert os.path.exists(os.path.join(str(tmp_path / "ck"), "best"))
+    restored = mgr.restore_latest(tr.state)
+    assert int(restored.step) == int(tr.state.step)
