@@ -1,0 +1,127 @@
+"""Dataset layer tests: manifests, bucketing, filters, layout builders."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nn_conformer_for_speech_recognition_tpu.data.audio import (
+    make_synthetic_corpus,
+    synth_word_audio,
+    write_wav,
+)
+from nn_conformer_for_speech_recognition_tpu.data.datasets import (
+    BucketedDataset,
+    Utterance,
+    librispeech_manifests,
+    load_manifest,
+    save_manifest,
+    shard_utterances,
+)
+from nn_conformer_for_speech_recognition_tpu.data.vocab import (
+    WordPieceVocab,
+    WordVocab,
+)
+
+
+def test_manifest_roundtrip(tmp_path):
+    utts = [Utterance("/a.wav", "go stop"), Utterance("/b.wav", "")]
+    p = str(tmp_path / "m.tsv")
+    save_manifest(p, utts)
+    back = load_manifest(p)
+    assert back[0].transcript == "go stop"
+    assert not back[1].labeled
+
+
+def test_shard_utterances():
+    utts = [Utterance(f"/{i}.wav", "x") for i in range(10)]
+    s0 = shard_utterances(utts, 0, 3)
+    s1 = shard_utterances(utts, 1, 3)
+    s2 = shard_utterances(utts, 2, 3)
+    assert len(s0) + len(s1) + len(s2) == 10
+    assert {u.audio_path for u in s0}.isdisjoint({u.audio_path for u in s1})
+
+
+@pytest.fixture(scope="module")
+def varied_corpus(tmp_path_factory):
+    """Wavs of varied lengths for bucketing tests."""
+    root = tmp_path_factory.mktemp("varied")
+    rng = np.random.default_rng(0)
+    utts = []
+    for i, n in enumerate([2000, 3000, 4000, 9000, 10000, 15000]):
+        x = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        p = str(root / f"{i}.wav")
+        write_wav(p, x, 16000)
+        utts.append(Utterance(p, "go"))
+    return utts
+
+
+def test_bucketing_pads_to_bucket_not_global_max(varied_corpus):
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>", "go"])
+    ds = BucketedDataset(varied_corpus, vocab, batch_size=2,
+                         bucket_boundaries=[4000, 10000, 16000], max_target_len=2)
+    shapes = {b.audio.shape[1] for b in ds.epoch(shuffle=False)}
+    # short clips batch at 4000 samples, mid at 10000 — never all at 16000
+    assert 4000 in shapes and 10000 in shapes
+    for b in ds.epoch(shuffle=False):
+        valid = b.audio_lengths[b.indices >= 0]
+        assert (valid <= b.audio.shape[1]).all()
+
+
+def test_max_samples_filter(varied_corpus):
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>", "go"])
+    ds = BucketedDataset(varied_corpus, vocab, batch_size=2,
+                         bucket_boundaries=[16000], max_samples=5000,
+                         max_target_len=2)
+    assert len(ds) == 3  # 2000/3000/4000 kept (`librilight.py:136-148`)
+
+
+def test_drop_untolerable_uses_wpm_filter(varied_corpus):
+    v = WordPieceVocab.build(["go stop yes"], ntokens=64, min_freq=1)
+    utts = [Utterance(varied_corpus[0].audio_path, "go"),
+            Utterance(varied_corpus[1].audio_path, "qqq zzz xxx")]
+    ds = BucketedDataset(utts, v, batch_size=2, bucket_boundaries=[16000],
+                         drop_untolerable=True, unk_tol=0.3, max_target_len=8)
+    assert len(ds) == 1  # high-unk transcript dropped (`wordpiecemodel.py:112-124`)
+
+
+def test_batch_padding_rows_marked(varied_corpus):
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>", "go"])
+    ds = BucketedDataset(varied_corpus[:3], vocab, batch_size=4,
+                         bucket_boundaries=[16000], max_target_len=2)
+    b = next(ds.epoch(shuffle=False))
+    assert b.size == 3
+    assert (b.indices[3:] == -1).all()
+    assert (b.audio_lengths[3:] == 0).all()
+
+
+def test_librispeech_layout_builder(tmp_path):
+    # fabricate root/split/spk/chap/{trans,wavs}
+    split = "dev-clean"
+    chap = tmp_path / split / "84" / "121123"
+    chap.mkdir(parents=True)
+    ids = ["84-121123-0000", "84-121123-0001"]
+    texts = ["HELLO WORLD", "GOOD MORNING"]
+    with open(chap / "84-121123.trans.txt", "w") as f:
+        for i, t in zip(ids, texts):
+            f.write(f"{i} {t}\n")
+    for i in ids:
+        write_wav(str(chap / f"{i}.wav"), synth_word_audio("x", duration=0.05), 16000)
+    man = librispeech_manifests(str(tmp_path), str(tmp_path / "out"), [split])
+    utts = load_manifest(man[split])
+    assert len(utts) == 2
+    assert utts[0].transcript == "hello world"
+    assert os.path.exists(utts[0].audio_path)
+
+
+def test_epoch_reshuffles_between_epochs(tmp_path):
+    man = make_synthetic_corpus(str(tmp_path), ["go", "stop"], 16, 0, 0, 0)
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>", "go", "stop"])
+    ds = BucketedDataset(load_manifest(man["train"]), vocab, batch_size=4,
+                         bucket_boundaries=[8000], max_target_len=2)
+    order1 = [tuple(b.indices) for b in ds.epoch(seed=1)]
+    order2 = [tuple(b.indices) for b in ds.epoch(seed=2)]
+    assert order1 != order2
+    # deterministic given the seed
+    order1b = [tuple(b.indices) for b in ds.epoch(seed=1)]
+    assert order1 == order1b
