@@ -1,0 +1,184 @@
+"""End-to-end Noisy Student Training demo on one TPU chip.
+
+Reproduces the reference's NST behavioral signature (BASELINE.md: NST
+improves over the supervised base) on a verifiable synthetic 35-word command
+corpus: 64 noisy supervised clips + 1024 unlabeled clips, Conformer-S.
+Measured on TPU v5e: base 24.22/23.05 val/test WER -> NST 22.27/19.92
+(results/nst_demo_tpu.json).
+
+Device-resident data pattern: the corpus is uploaded once; every train /
+eval / pseudo-label batch is indexed on-device (jnp.take), and NST dataset
+mixing is an index-set concat + a tiny pseudo-label upload — relevant when
+host->device bandwidth is the constraint (e.g. tunneled TPU setups).
+
+Run: PYTHONPATH=/root/repo python examples/nst_tpu_demo.py
+"""
+import json, time, numpy as np, jax, jax.numpy as jnp, sys, dataclasses
+
+T0=time.time()
+def log(m): print(f"[{time.time()-T0:7.1f}s] {m}", flush=True)
+
+from nn_conformer_for_speech_recognition_tpu import config as C
+from nn_conformer_for_speech_recognition_tpu.data.audio import synth_utterance
+from nn_conformer_for_speech_recognition_tpu.data.vocab import WordVocab
+from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+from nn_conformer_for_speech_recognition_tpu.train.loop import (
+    make_train_step, make_eval_step, make_predict_step)
+from nn_conformer_for_speech_recognition_tpu.train.optim import make_optimizer
+from nn_conformer_for_speech_recognition_tpu.train.state import TrainState
+from nn_conformer_for_speech_recognition_tpu.train import metrics as M
+
+WORDS = [f"w{i:02d}" for i in range(35)]
+vocab = WordVocab(["<blank>","<pad>","<unk>"] + WORDS)
+SR, PAD = 16000, 8000
+rng = np.random.default_rng(0)
+
+def make_split(n, seed, noise=0.5):
+    r = np.random.default_rng(seed)
+    audio = np.zeros((n, PAD), np.float32)
+    alen = np.zeros((n,), np.int32)
+    labels = np.zeros((n,), np.int32)
+    for i in range(n):
+        w = int(r.integers(len(WORDS)))
+        x = synth_utterance([WORDS[w]], SR, rng=r, noise_std=noise)[:PAD]
+        audio[i,:len(x)] = x; alen[i] = len(x); labels[i] = 3 + w
+    return audio, alen, labels
+
+splits = {}
+for name, n, seed in [("train",64,1),("val",256,2),("test",256,3),("unlab",1024,4)]:
+    splits[name] = make_split(n, seed)
+log("synthesized")
+
+# one-time upload
+dev = {}
+for name,(a,l,y) in splits.items():
+    dev[name] = (jax.device_put(a), jax.device_put(l), jax.device_put(y))
+    jax.block_until_ready(dev[name][0])
+    log(f"uploaded {name}: {a.nbytes/1e6:.1f} MB")
+
+feat = C.FeatureConfig()
+mcfg = C.conformer_s(compute_dtype="float32")
+model = ConformerCTC(mcfg, vocab_size=len(vocab))
+B = 64; TGT_LEN = 2
+
+def targets_of(labels):  # (N,) class id -> (N,2) [id, pad]
+    t = jnp.full((labels.shape[0], TGT_LEN), vocab.pad_id, jnp.int32)
+    return t.at[:,0].set(labels), jnp.ones((labels.shape[0],), jnp.int32)
+
+train_step = jax.jit(make_train_step(model, feat, C.SpecAugmentConfig(), vocab.blank_id, use_specaugment=True))
+eval_step = jax.jit(make_eval_step(model, feat, vocab.blank_id, vocab.pad_id))
+predict_step = jax.jit(make_predict_step(model, feat, vocab.pad_id))
+
+@jax.jit
+def gather_batch(audio, alen, labels, idx):
+    a = jnp.take(audio, idx, axis=0)
+    l = jnp.take(alen, idx, axis=0)
+    y = jnp.take(labels, idx, axis=0)
+    tgt, tlen = targets_of(y)
+    return a, l, tgt, tlen
+
+tx = make_optimizer(C.OptimizerConfig(learning_rate=3e-4))
+feats0, fl0 = jax.jit(lambda a,l: __import__("nn_conformer_for_speech_recognition_tpu.ops.features", fromlist=["log_mel_spectrogram"]).log_mel_spectrogram(a, feat, l))(dev["train"][0][:2], dev["train"][1][:2])
+variables = jax.jit(model.init)({"params": jax.random.key(0), "dropout": jax.random.key(1)}, feats0, fl0)
+state = TrainState.create(variables["params"], variables.get("batch_stats", {}), tx, jax.random.key(0))
+log("state initialized")
+
+def run_epochs(state, idx_pool, labels_dev, epochs, seed0):
+    n = idx_pool.shape[0]
+    audio, alen, _ = dev["train"]  # audio pool = train+unlab concat prepared below
+    for e in range(epochs):
+        perm = np.random.default_rng(seed0+e).permutation(n)
+        losses = []
+        for s0 in range(0, n - B + 1, B):
+            idx = jax.device_put(idx_pool[perm[s0:s0+B]])
+            a, l, tgt, tlen = gather_batch(POOL_AUDIO, POOL_ALEN, labels_dev, idx)
+            state, mtr = train_step(state, a, l, tgt, tlen)
+            losses.append(mtr["loss"])
+        if e % 20 == 0 or e == epochs - 1:
+            log(f"  epoch {e}: loss={float(jnp.mean(jnp.stack(losses))):.4f}")
+    return state
+
+def evaluate(state, which):
+    a, l, y = dev[which]
+    n = a.shape[0]
+    hyps, refs, losses = [], [], []
+    for s0 in range(0, n, B):
+        idx = jnp.arange(s0, min(s0+B, n))
+        if idx.shape[0] < B:  # pad final batch
+            idx = jnp.concatenate([idx, jnp.zeros((B-idx.shape[0],), jnp.int32)])
+        ab = jnp.take(a, idx, axis=0); lb = jnp.take(l, idx, axis=0)
+        yb = jnp.take(y, idx, axis=0)
+        tgt, tlen = targets_of(yb)
+        loss, ids, _ = eval_step(state, ab, lb, tgt, tlen)
+        ids = np.asarray(ids)
+        k = min(B, n-s0)
+        for row in range(k):
+            refs.append(vocab.tokens[int(np.asarray(yb)[row])])
+            hyps.append(vocab.decode_ids(ids[row]))
+        losses.append(float(loss))
+    return float(np.mean(losses)), M.wer(refs, hyps)
+
+# pools: train audio and unlabeled audio concatenated once on device
+POOL_AUDIO = jnp.concatenate([dev["train"][0], dev["unlab"][0]], axis=0)
+POOL_ALEN  = jnp.concatenate([dev["train"][1], dev["unlab"][1]], axis=0)
+N_TRAIN = splits["train"][0].shape[0]; N_UNLAB = splits["unlab"][0].shape[0]
+pool_labels = jnp.concatenate([dev["train"][2], jnp.zeros((N_UNLAB,), jnp.int32)])
+log(f"pools ready ({POOL_AUDIO.nbytes/1e6:.0f} MB on device)")
+
+log("== supervised ==")
+state = run_epochs(state, np.arange(N_TRAIN), pool_labels, epochs=250, seed0=10)
+bl, bw = evaluate(state, "val"); tl_, tw = evaluate(state, "test")
+log(f"BASE val wer {100*bw:.2f} test wer {100*tw:.2f}")
+
+log("== NST ==")
+# pseudo-label unlabeled pool on device, decode ids on host (tiny transfer)
+u_audio, u_alen, _ = dev["unlab"]
+pseudo = np.zeros((N_UNLAB,), np.int32)
+keep = np.zeros((N_UNLAB,), bool)
+for s0 in range(0, N_UNLAB, B):
+    idx = jnp.arange(s0, min(s0+B, N_UNLAB))
+    if idx.shape[0] < B:
+        idx = jnp.concatenate([idx, jnp.zeros((B-idx.shape[0],), jnp.int32)])
+    ids, _ = predict_step(state, jnp.take(u_audio, idx, axis=0), jnp.take(u_alen, idx, axis=0))
+    ids = np.asarray(ids)
+    for row in range(min(B, N_UNLAB-s0)):
+        text = vocab.decode_ids(ids[row])
+        words = text.split()
+        if len(words) == 1 and words[0] in vocab.index:  # filter: single valid word
+            pseudo[s0+row] = vocab.index[words[0]]
+            keep[s0+row] = True
+log(f"pseudo-labeled {int(keep.sum())}/{N_UNLAB} kept")
+
+# NST generations at ft_lr with mixed index pool; tiny label upload only
+ft_tx = make_optimizer(C.OptimizerConfig(learning_rate=3e-5))
+state = TrainState.create(state.params, state.batch_stats, ft_tx, jax.random.key(7))
+mixed_labels = jnp.concatenate([dev["train"][2], jnp.asarray(pseudo)])
+mix_idx = np.concatenate([np.arange(N_TRAIN), N_TRAIN + np.nonzero(keep)[0]])
+results = []
+for gen in range(3):
+    state = run_epochs(state, mix_idx, mixed_labels, epochs=40, seed0=100+10*gen)
+    vl, vw = evaluate(state, "val")
+    log(f"gen {gen}: val wer {100*vw:.2f}")
+    results.append({"gen": gen, "val_wer": 100*vw})
+    # relabel U with the improved model next generation
+    if gen < 2:
+        for s0 in range(0, N_UNLAB, B):
+            idx = jnp.arange(s0, min(s0+B, N_UNLAB))
+            if idx.shape[0] < B:
+                idx = jnp.concatenate([idx, jnp.zeros((B-idx.shape[0],), jnp.int32)])
+            ids, _ = predict_step(state, jnp.take(u_audio, idx, axis=0), jnp.take(u_alen, idx, axis=0))
+            ids = np.asarray(ids)
+            for row in range(min(B, N_UNLAB-s0)):
+                words = vocab.decode_ids(ids[row]).split()
+                if len(words) == 1 and words[0] in vocab.index:
+                    pseudo[s0+row] = vocab.index[words[0]]; keep[s0+row] = True
+        mixed_labels = jnp.concatenate([dev["train"][2], jnp.asarray(pseudo)])
+        mix_idx = np.concatenate([np.arange(N_TRAIN), N_TRAIN + np.nonzero(keep)[0]])
+
+nl, nw = evaluate(state, "val"); ntl, ntw = evaluate(state, "test")
+log(f"NST  val wer {100*nw:.2f} test wer {100*ntw:.2f}")
+summary = {"base": {"val_wer": 100*bw, "test_wer": 100*tw},
+           "nst": {"val_wer": 100*nw, "test_wer": 100*ntw, "generations": results},
+           "wall_s": round(time.time()-T0,1)}
+with open("results/nst_demo_tpu.json","w") as f: json.dump(summary,f,indent=2)
+print(json.dumps(summary), flush=True)
