@@ -125,3 +125,73 @@ def test_epoch_reshuffles_between_epochs(tmp_path):
     # deterministic given the seed
     order1b = [tuple(b.indices) for b in ds.epoch(seed=1)]
     assert order1 == order1b
+
+
+def test_device_resident_dataset_matches_host(tmp_path):
+    import jax
+    from nn_conformer_for_speech_recognition_tpu.data.device_cache import (
+        DeviceResidentDataset)
+
+    man = make_synthetic_corpus(str(tmp_path), ["go", "stop"], 12, 0, 0, 0)
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>", "go", "stop"])
+    host = BucketedDataset(load_manifest(man["train"]), vocab, batch_size=4,
+                           bucket_boundaries=[8000], max_target_len=2)
+    dev = DeviceResidentDataset(host)
+    db = list(dev.epoch(seed=3))
+    assert sum(b.size for b in db) == len(host)
+    # every device batch row matches the host dataset's content for that index
+    for d in db:
+        for row, idx in enumerate(d.indices):
+            if idx < 0:
+                continue
+            ref_audio = host._audio(int(idx))
+            got = np.asarray(d.audio)[row]
+            np.testing.assert_allclose(got[: len(ref_audio)], ref_audio, atol=1e-6)
+            ids = host.vocab.parse(host.utterances[int(idx)].transcript)
+            np.testing.assert_array_equal(
+                np.asarray(d.targets)[row, : len(ids)], ids)
+
+
+def test_device_resident_set_targets(tmp_path):
+    from nn_conformer_for_speech_recognition_tpu.data.device_cache import (
+        DeviceResidentDataset)
+
+    man = make_synthetic_corpus(str(tmp_path), ["go", "stop"], 6, 0, 0, 0)
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>", "go", "stop"])
+    host = BucketedDataset(load_manifest(man["train"]), vocab, batch_size=6,
+                           bucket_boundaries=[8000], max_target_len=2)
+    dev = DeviceResidentDataset(host)
+    dev.set_targets({0: [4, 3]})
+    b = next(dev.epoch(shuffle=False))
+    row = list(b.indices).index(0)
+    np.testing.assert_array_equal(np.asarray(b.targets)[row], [4, 3])
+    assert int(np.asarray(b.target_lengths)[row]) == 2
+
+
+def test_trainer_works_with_device_dataset(tmp_path):
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.data.device_cache import (
+        DeviceResidentDataset)
+    from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+    from nn_conformer_for_speech_recognition_tpu.train.loop import Trainer
+
+    man = make_synthetic_corpus(str(tmp_path), ["go", "stop"], 8, 0, 0, 0)
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>", "go", "stop"])
+    host = BucketedDataset(load_manifest(man["train"]), vocab, batch_size=8,
+                           bucket_boundaries=[8000], max_target_len=2)
+    dev = DeviceResidentDataset(host)
+    enc = C.ConformerConfig(num_blocks=1, d_model=16, num_heads=2, ffn_dim=32,
+                            conv_kernel_size=5, dropout=0.0)
+    mcfg = C.ModelConfig(encoder=enc,
+                         decoder=C.DecoderConfig(projection_dim=8, lstm_hidden=8),
+                         n_mels=13)
+    tcfg = C.TrainConfig(batch_size=8,
+                         optimizer=C.OptimizerConfig(name="adam", learning_rate=1e-3),
+                         use_specaugment=False, donate_state=False)
+    tr = Trainer(ConformerCTC(mcfg, vocab_size=len(vocab)), vocab,
+                 C.FeatureConfig(n_fft=256, hop_length=256, n_mels=13), tcfg)
+    tr.init_state(seed=0)
+    tr.train(dev, epochs=2)
+    assert np.isfinite(tr.history["train_loss"][-1])
+    loss, wer = tr.evaluate(dev)
+    assert np.isfinite(loss)
