@@ -68,26 +68,30 @@ def _padded_bases(
 
 
 def _stft_logmel_kernel(
-    audio_ref,  # (1, rows_per_batch, 128) VMEM block — whole padded batch row,
-    # loaded once per batch index (index map constant in t → Pallas reuses it)
+    audio_ref,  # (BB, rows_per_batch, 128) VMEM block — BB whole batch rows,
+    # loaded once per batch-tile (index map constant in t → Pallas reuses it)
     window_ref,  # (8, n_fft) VMEM (row-broadcast copy)
     dft_real_ref,  # (n_fft, bins_pad) VMEM
     dft_imag_ref,  # (n_fft, bins_pad) VMEM
     mel_ref,  # (bins_pad, mels_pad) VMEM
-    out_ref,  # (1, tile_t, mels_pad) VMEM block
+    out_ref,  # (BB, tile_t, mels_pad) VMEM block
     *,
     hop: int,
     n_fft: int,
     tile_t: int,
+    batch_tile: int,
     log_floor: float,
 ):
     t0 = pl.program_id(1)
 
-    # frame i = rows [i*hop/128, i*hop/128 + n_fft/128) flattened to n_fft
+    # frame i of batch row b = rows [i*hop/128, +n_fft/128) flattened; all
+    # batch_tile rows stack into one (BB*tile_t, n_fft) matrix so the DFT
+    # matmuls run at full MXU tile height
     hop_rows, fft_rows = hop // LANES, n_fft // LANES
     base = t0 * tile_t * hop_rows
     rows = [
-        audio_ref[0, pl.ds(base + i * hop_rows, fft_rows), :].reshape(1, n_fft)
+        audio_ref[b, pl.ds(base + i * hop_rows, fft_rows), :].reshape(1, n_fft)
+        for b in range(batch_tile)
         for i in range(tile_t)
     ]
     frames = jnp.concatenate(rows, axis=0) * window_ref[0, :][None, :]
@@ -96,16 +100,22 @@ def _stft_logmel_kernel(
     im = jnp.dot(frames, dft_imag_ref[:, :], preferred_element_type=jnp.float32)
     power = re * re + im * im
     mel = jnp.dot(power, mel_ref[:, :], preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.log(jnp.maximum(mel, log_floor))
+    out_ref[...] = jnp.log(jnp.maximum(mel, log_floor)).reshape(
+        batch_tile, tile_t, mel.shape[-1]
+    )
 
 
 def pallas_geometry_supported(config: FeatureConfig) -> bool:
     return config.hop_length % LANES == 0 and config.n_fft % LANES == 0
 
 
-@functools.partial(jax.jit, static_argnames=("config", "tile_t", "interpret"))
+@functools.partial(jax.jit, static_argnames=("config", "tile_t", "batch_tile", "interpret"))
 def stft_logmel_pallas(
-    audio: jnp.ndarray, config: FeatureConfig, tile_t: int = 32, interpret: bool = False
+    audio: jnp.ndarray,
+    config: FeatureConfig,
+    tile_t: int = 32,
+    batch_tile: int = 4,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, S) float32 audio → (B, S//hop + 1, n_mels) log-mel features."""
     if not pallas_geometry_supported(config):
@@ -121,6 +131,8 @@ def stft_logmel_pallas(
     n_fft, hop = config.n_fft, config.hop_length
     num_frames = s // hop + 1
     pad = n_fft // 2
+    batch_tile = min(batch_tile, bsz)
+    b_pad = -(-bsz // batch_tile) * batch_tile
 
     real_p, imag_p, mel_p, bins_pad, mels_pad = _padded_bases(
         config.sample_rate, n_fft, config.n_mels, config.fmin, config.fmax_, config.htk
@@ -142,22 +154,25 @@ def stft_logmel_pallas(
         padded = jnp.pad(padded, ((0, 0), (0, needed - padded.shape[1])))
     else:
         padded = padded[:, :needed]
-    audio_rows = padded.reshape(bsz, rows_per_batch, LANES)
+    if b_pad > bsz:
+        padded = jnp.pad(padded, ((0, b_pad - bsz), (0, 0)))
+    audio_rows = padded.reshape(b_pad, rows_per_batch, LANES)
 
     kernel = functools.partial(
         _stft_logmel_kernel,
         hop=hop,
         n_fft=n_fft,
         tile_t=tile_t,
+        batch_tile=batch_tile,
         log_floor=config.log_floor,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bsz, t_tiles * tile_t, mels_pad), jnp.float32),
-        grid=(bsz, t_tiles),
+        out_shape=jax.ShapeDtypeStruct((b_pad, t_tiles * tile_t, mels_pad), jnp.float32),
+        grid=(b_pad // batch_tile, t_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, rows_per_batch, LANES),
+                (batch_tile, rows_per_batch, LANES),
                 lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -175,7 +190,8 @@ def stft_logmel_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_t, mels_pad), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            (batch_tile, tile_t, mels_pad), lambda b, t: (b, t, 0),
+            memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(
@@ -185,4 +201,4 @@ def stft_logmel_pallas(
         jnp.asarray(imag_p),
         jnp.asarray(mel_p),
     )
-    return out[:, :num_frames, : config.n_mels]
+    return out[:bsz, :num_frames, : config.n_mels]
