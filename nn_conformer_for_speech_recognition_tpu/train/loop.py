@@ -112,7 +112,18 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
-def make_eval_step(model: ConformerCTC, feat_cfg: FeatureConfig, blank_id: int, pad_id: int):
+def make_eval_step(
+    model: ConformerCTC,
+    feat_cfg: FeatureConfig,
+    blank_id: int,
+    pad_id: int,
+    lm_apply=None,
+    lm_weight: float = 0.3,
+):
+    """``lm_apply`` (ids → logits) enables shallow LM fusion on the eval
+    path — the reference's ``x += lm(ngram, argmax(x))`` hook
+    (`asrnn.py:257-258`), via `models/lm.shallow_fusion`."""
+
     def eval_step(state: TrainState, audio, audio_lengths, targets, target_lengths):
         feats, frame_lengths = _featurize(audio, audio_lengths, feat_cfg)
         log_probs, out_lengths = model.apply(
@@ -121,6 +132,10 @@ def make_eval_step(model: ConformerCTC, feat_cfg: FeatureConfig, blank_id: int, 
             frame_lengths,
             deterministic=True,
         )
+        if lm_apply is not None:
+            from nn_conformer_for_speech_recognition_tpu.models.lm import shallow_fusion
+
+            log_probs = shallow_fusion(log_probs, lm_apply, lm_weight)
         per_seq = ctc_loss(
             log_probs, targets, out_lengths, target_lengths,
             blank_id=blank_id, reduction=None,
@@ -195,6 +210,8 @@ class Trainer:
         learning_rate: Optional[float] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         log_fn: Callable[[str], None] = print,
+        lm_apply=None,
+        lm_weight: float = 0.3,
     ):
         self.model = model
         self.vocab = vocab
@@ -229,7 +246,10 @@ class Trainer:
                             use_specaugment=False),
             donate_argnums=(0,) if train_cfg.donate_state else (),
         )
-        self._eval_step = jax.jit(make_eval_step(model, feat_cfg, blank, pad))
+        self._eval_step = jax.jit(
+            make_eval_step(model, feat_cfg, blank, pad,
+                           lm_apply=lm_apply, lm_weight=lm_weight)
+        )
         self._predict_step = jax.jit(make_predict_step(model, feat_cfg, pad))
         self._beam_step = jax.jit(make_beam_step(model, feat_cfg, blank))
 

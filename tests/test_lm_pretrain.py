@@ -170,3 +170,46 @@ def test_pretrain_trainer_loss_decreases(rng, tmp_path):
     tr.train(ds, epochs=8)
     h = tr.history["pretrain_loss"]
     assert h[-1] < h[0], h
+
+
+def test_trainer_with_shallow_fusion(rng, tmp_path):
+    """Eval path composes LM shallow fusion (`asrnn.py:257-258`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.data.audio import make_synthetic_corpus
+    from nn_conformer_for_speech_recognition_tpu.data.datasets import (
+        BucketedDataset, load_manifest)
+    from nn_conformer_for_speech_recognition_tpu.data.vocab import build_vocab
+    from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+    from nn_conformer_for_speech_recognition_tpu.train.loop import Trainer
+
+    man = make_synthetic_corpus(str(tmp_path), ["go", "stop"], 8, 0, 8, 0)
+    utts = load_manifest(man["train"])
+    vocab = build_vocab("word", [u.transcript for u in utts])
+    ds = BucketedDataset(load_manifest(man["test"]), vocab, 8,
+                         bucket_boundaries=[8000], max_target_len=2)
+    lm = CausalWordLM(vocab=len(vocab), d=16, heads=2, ffn=32, layers=1, dropout=0.0)
+    lm_params = lm.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))
+
+    enc = C.ConformerConfig(num_blocks=1, d_model=16, num_heads=2, ffn_dim=32,
+                            conv_kernel_size=5, dropout=0.0)
+    mcfg = C.ModelConfig(encoder=enc,
+                         decoder=C.DecoderConfig(projection_dim=8, lstm_hidden=8),
+                         n_mels=13)
+    tcfg = C.TrainConfig(batch_size=8,
+                         optimizer=C.OptimizerConfig(name="adam", learning_rate=1e-3),
+                         use_specaugment=False, donate_state=False)
+    feat = C.FeatureConfig(n_fft=256, hop_length=256, n_mels=13)
+    model = ConformerCTC(mcfg, vocab_size=len(vocab))
+
+    plain = Trainer(model, vocab, feat, tcfg)
+    plain.init_state(seed=0)
+    fused = Trainer(model, vocab, feat, tcfg,
+                    lm_apply=lambda ids: lm.apply(lm_params, ids), lm_weight=1.0)
+    fused.state = plain.state  # same ASR weights
+    l1, _ = plain.evaluate(ds)
+    l2, _ = fused.evaluate(ds)
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert abs(l1 - l2) > 1e-6  # LM changed the scores
