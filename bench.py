@@ -38,7 +38,8 @@ def main():
     vocab = WordVocab(
         ["<blank>", "<pad>", "<unk>"] + [f"w{i}" for i in range(35)]
     )
-    batch = 4096  # near-linear scaling measured on v5e: 74.7k @256, 269k @1024, 1.01M audio-s/s @4096
+    batch = 4096  # near-linear scaling measured on v5e: 74.7k @256, 269k @1024,
+    # 1.01M @4096, 2.31M audio-s/s @8192 (step time ~flat: fixed overhead bound)
     seconds = 1.0
     train_cfg = C.TrainConfig(
         batch_size=batch,
