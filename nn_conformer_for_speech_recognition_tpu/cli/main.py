@@ -16,7 +16,7 @@ import dataclasses
 import json
 import os
 import sys
-from typing import Dict, Optional
+from typing import Dict
 
 
 def _common_data_args(p: argparse.ArgumentParser) -> None:

@@ -14,7 +14,7 @@ from __future__ import annotations
 import hashlib
 import os
 import wave
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

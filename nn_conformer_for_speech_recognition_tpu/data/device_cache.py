@@ -15,7 +15,6 @@ so ``Trainer`` and ``nst.driver.run_nst`` work unchanged.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Dict, Iterator, List, Optional, Sequence
 

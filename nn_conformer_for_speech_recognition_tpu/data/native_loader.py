@@ -17,7 +17,7 @@ import os
 import queue
 import sys
 import threading
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ Shallow LM fusion (``x += lm(...)`` at `asrnn.py:257-258`) is provided by
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -23,7 +23,6 @@ TPU-specific choices:
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ Two fusion modes mirror the reference:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ Capability surface of `unused_lib/pretraining/nn.py:7-95` and
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

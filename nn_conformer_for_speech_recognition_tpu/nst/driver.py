@@ -25,7 +25,6 @@ from typing import Dict, List, Optional
 from nn_conformer_for_speech_recognition_tpu.config import NSTConfig
 from nn_conformer_for_speech_recognition_tpu.data.datasets import (
     BucketedDataset,
-    Utterance,
     mix_datasets,
     save_manifest,
 )

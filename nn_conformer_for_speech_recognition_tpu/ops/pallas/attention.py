@@ -21,7 +21,6 @@ of training ride.  Supersedes the reference's `nn.MultiheadAttention` usage
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ path is exercised by the CPU-mesh tests.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import numpy as np

@@ -27,14 +27,13 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from nn_conformer_for_speech_recognition_tpu.config import (
-    ExperimentConfig,
     FeatureConfig,
     MeshConfig,
     SpecAugmentConfig,

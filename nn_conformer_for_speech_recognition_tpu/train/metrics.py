@@ -11,7 +11,7 @@ exactly.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 
 def edit_distance(ref: Sequence, hyp: Sequence) -> int:

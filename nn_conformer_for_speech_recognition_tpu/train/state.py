@@ -8,7 +8,7 @@ orbax can checkpoint/restore everything needed for exact resume (SURVEY.md
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import optax
