@@ -129,7 +129,7 @@ class RelPositionMHSA(nn.Module):
         h, dh = self.num_heads, self.d_model // self.num_heads
         x = nn.LayerNorm(dtype=self.dtype)(x)
 
-        qkv = nn.Dense(3 * self.d_model, use_bias=False, dtype=self.dtype)(x)
+        qkv = nn.Dense(3 * self.d_model, use_bias=False, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h, dh)
