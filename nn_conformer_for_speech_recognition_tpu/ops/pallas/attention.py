@@ -225,13 +225,243 @@ def rel_attention_pallas(
     scale: float,
 ) -> jnp.ndarray:
     """Drop-in for the einsum path in `models/conformer.RelPositionMHSA`:
-    content bias folds into q; the position term becomes the kernel's
-    additive bias via the same take_along_axis skew as the jnp path."""
-    b, t, h, dh = q.shape
+    content bias folds into q, position bias into qv, and the kernel
+    computes the rel-pos term in-VMEM from the O(T·H·dh) table — no
+    O(B·H·T²) bias materialisation (see `flash_attention_relpos`)."""
     qu = q + u_bias[None, None]
     qv = q + v_bias[None, None]
-    bd_full = jnp.einsum("bihd,lhd->bhil", qv, p, preferred_element_type=jnp.float32)
-    idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)
-    bias = jnp.take_along_axis(bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1)
     lengths = jnp.sum(mask.astype(jnp.int32), axis=1)
-    return flash_attention(qu, k, v, bias, lengths, scale)
+    return flash_attention_relpos(qu, qv, k, v, p, lengths, scale)
+
+
+# ---------------------------------------------------------------------------
+# True-flash variant: relative-position term computed IN-KERNEL
+# ---------------------------------------------------------------------------
+#
+# The bias-input variant above needs an O(B·H·T²) rel-pos bias in HBM.  Here
+# the Transformer-XL term is computed inside the kernel from the O(T·H·dh)
+# projected embedding table: for the (q, kv) tile pair the band
+# p[l0 : l0 + bq + bk] is loaded via two BlockSpec-indexed 128-row blocks
+# (l0 = T - bq + bk·kv - bq·q is block-aligned by construction), the kernel
+# computes qp = (q+v_bias) @ bandᵀ, and the skew bd[i,c] = qp[i, c+bq-1-i]
+# is realised with a barrel shifter: log2(bq) row-masked rolls — no gathers,
+# no T² memory.
+
+
+def _skew(qp, bq: int, bk: int):
+    """(bq, bq+bk) → (bq, bk): out[i, c] = qp[i, c + bq - 1 - i].
+
+    Row i is rolled right by i via masked power-of-two rolls (barrel
+    shifter), then a uniform left roll by bq-1 aligns the wanted diagonal
+    band at column 0.
+    """
+    w = qp.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, qp.shape, 0)
+    shift = 1
+    while shift < bq:
+        mask = (row_ids & shift) != 0
+        qp = jnp.where(mask, pltpu.roll(qp, shift, axis=1), qp)
+        shift *= 2
+    # sheared[i, c] = qp[i, (c - i) mod w]; want col c + bq - 1
+    qp = pltpu.roll(qp, w - (bq - 1), axis=1)  # left-roll by bq-1
+    return qp[:, :bk]
+
+
+def _flash_relpos_kernel(
+    len_ref,  # SMEM (B,) int32
+    qu_ref,  # (1, 1, block_q, dh)
+    qv_ref,  # (1, 1, block_q, dh)
+    k_ref,  # (1, 1, block_k, dh)
+    v_ref,  # (1, 1, block_k, dh)
+    p_lo_ref,  # (1, block_q, dh) rel-pos band, lower half
+    p_hi_ref,  # (1, block_k, dh) rel-pos band, upper half
+    o_ref,  # (1, 1, block_q, dh)
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    kv_tiles: int,
+):
+    b = pl.program_id(0)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, MASK_VALUE, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    qu = qu_ref[0, 0]
+    kk = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        qu, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    # in-kernel rel-pos term
+    qv = qv_ref[0, 0]
+    band = jnp.concatenate([p_lo_ref[0], p_hi_ref[0]], axis=0)  # (bq+bk, dh)
+    qp = jax.lax.dot_general(
+        qv, band, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bq+bk)
+    s = (s + _skew(qp, block_q, block_k)) * scale
+
+    valid_len = len_ref[b]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
+    s = jnp.where(col < valid_len, s, MASK_VALUE)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+    vv = v_ref[0, 0]
+    o_curr = jax.lax.dot(p.astype(vv.dtype), vv, preferred_element_type=jnp.float32)
+    acc_scr[...] = acc_scr[...] * alpha + o_curr
+
+    @pl.when(kv_idx == kv_tiles - 1)
+    def _store():
+        l_final = l_scr[:, :1]
+        inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0, 0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block", "interpret"))
+def _flash_relpos_forward(qu, qv, k, v, p, lengths, scale, block=128, interpret=False):
+    """p: (2T-1, H, dh) projected rel-pos table; everything else as before.
+
+    Requires a single block size for q and kv so the band offset is
+    block-aligned: l0 = T - block + block*(kv - q).
+    """
+    b, t, h, dh = qu.shape
+    block = min(block, _round_up(t, 8))
+    t_pad = _round_up(t, block)
+    dh_pad = _round_up(dh, LANES)
+
+    def pad_qkv(x):
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, dh_pad - dh)))
+
+    qu_p = jnp.moveaxis(pad_qkv(qu), 2, 1)
+    qv_p = jnp.moveaxis(pad_qkv(qv), 2, 1)
+    k_p = jnp.moveaxis(pad_qkv(k), 2, 1)
+    v_p = jnp.moveaxis(pad_qkv(v), 2, 1)
+
+    # p rows l ∈ [0, 2T-1) encode distance (j - i) + (T-1) for the ORIGINAL
+    # T; re-center for t_pad and pad to 2*t_pad rows:
+    # l_pad = (j - i) + (t_pad - 1) → shift rows by (t_pad - t), then the
+    # kernel's band offset arithmetic is exact.
+    p_padded = jnp.zeros((2 * t_pad, h, dh_pad), p.dtype)
+    p_padded = jax.lax.dynamic_update_slice(
+        p_padded, jnp.pad(p, ((0, 0), (0, 0), (0, dh_pad - dh))), (t_pad - t, 0, 0)
+    )
+    p_hl = jnp.moveaxis(p_padded, 1, 0)  # (H, 2*t_pad, dh_pad)
+
+    tiles = t_pad // block
+    # band low block index: (t_pad/block - 1) + kv - q ; high: + 1.
+    # The skew wants band row 0 ↔ l = l0 = t_pad - block + block*(kv - q)
+    # and bd[i,c] = qv_i · p[l0 + (block-1) - i + c]  (verified in tests).
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_relpos_kernel,
+            scale=scale,
+            block_q=block,
+            block_k=block,
+            kv_tiles=tiles,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, tiles, tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block, dh_pad), lambda b_, h_, q_, kv_, *_r: (b_, h_, q_, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block, dh_pad), lambda b_, h_, q_, kv_, *_r: (b_, h_, q_, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block, dh_pad), lambda b_, h_, q_, kv_, *_r: (b_, h_, kv_, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block, dh_pad), lambda b_, h_, q_, kv_, *_r: (b_, h_, kv_, 0)
+                ),
+                pl.BlockSpec(
+                    (1, block, dh_pad),
+                    lambda b_, h_, q_, kv_, *_r: (h_, tiles - 1 + kv_ - q_, 0),
+                ),
+                pl.BlockSpec(
+                    (1, block, dh_pad),
+                    lambda b_, h_, q_, kv_, *_r: (h_, tiles + kv_ - q_, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block, dh_pad), lambda b_, h_, q_, kv_, *_r: (b_, h_, q_, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block, LANES), jnp.float32),
+                pltpu.VMEM((block, LANES), jnp.float32),
+                pltpu.VMEM((block, dh_pad), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, dh_pad), qu.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qu_p, qv_p, k_p, v_p, p_hl, p_hl)
+    return jnp.moveaxis(out, 1, 2)[:, :t, :, :dh]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def flash_attention_relpos(qu, qv, k, v, p, lengths, scale):
+    """True-flash rel-pos attention: O(T·H·dh) inputs, no T² bias."""
+    return _flash_relpos_forward(qu, qv, k, v, p, lengths, scale)
+
+
+def _far_fwd(qu, qv, k, v, p, lengths, scale):
+    return _flash_relpos_forward(qu, qv, k, v, p, lengths, scale), (
+        qu, qv, k, v, p, lengths,
+    )
+
+
+def _far_bwd(scale, res, g):
+    qu, qv, k, v, p, lengths = res
+    b, t, h, dh = qu.shape
+    idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)  # (T,T)
+    bd_full = jnp.einsum("bihd,lhd->bhil", qv, p, preferred_element_type=jnp.float32)
+    bias = jnp.take_along_axis(bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1)
+
+    scores = jnp.einsum("bihd,bjhd->bhij", qu, k, preferred_element_type=jnp.float32)
+    scores = (scores + bias) * scale
+    mask = (jnp.arange(t)[None, :] < lengths[:, None])[:, None, None, :]
+    scores = jnp.where(mask, scores, MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhij,bihd->bjhd", probs, g32).astype(v.dtype)
+    dp_ = jnp.einsum("bihd,bjhd->bhij", g32, v.astype(jnp.float32))
+    ds = probs * (dp_ - jnp.sum(dp_ * probs, axis=-1, keepdims=True))
+    ds = jnp.where(mask, ds, 0.0) * scale
+    dqu = jnp.einsum("bhij,bjhd->bihd", ds, k.astype(jnp.float32)).astype(qu.dtype)
+    dk = jnp.einsum("bhij,bihd->bjhd", ds, qu.astype(jnp.float32)).astype(k.dtype)
+    # re-bin ds over relative distances: dbd_full[..., i, l] = ds[..., i, j]
+    # with j = l - (T-1) + i (a gather — each (i, l) maps to at most one j)
+    l_idx = jnp.arange(2 * t - 1)[None, :]
+    j_idx = l_idx - (t - 1) + jnp.arange(t)[:, None]  # (T, 2T-1)
+    in_range = (j_idx >= 0) & (j_idx < t)
+    gathered = jnp.take_along_axis(
+        ds, jnp.broadcast_to(jnp.clip(j_idx, 0, t - 1), (b, h, t, 2 * t - 1)), axis=-1
+    )
+    dbd_full = jnp.where(in_range[None, None], gathered, 0.0)
+    dqv = jnp.einsum("bhil,lhd->bihd", dbd_full, p.astype(jnp.float32)).astype(qv.dtype)
+    dp_table = jnp.einsum("bhil,bihd->lhd", dbd_full, qv.astype(jnp.float32)).astype(p.dtype)
+    return dqu, dqv, dk, dv, dp_table, None
+
+
+flash_attention_relpos.defvjp(_far_fwd, _far_bwd)

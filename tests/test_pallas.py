@@ -173,9 +173,9 @@ def test_rel_attention_pallas_matches_einsum_path(rng, monkeypatch):
     from nn_conformer_for_speech_recognition_tpu.ops.pallas import attention as A
 
     # force interpret mode inside the model's pallas call
-    orig = A._flash_forward
+    orig = A._flash_relpos_forward
     monkeypatch.setattr(
-        A, "_flash_forward",
+        A, "_flash_relpos_forward",
         lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
     )
 
@@ -193,3 +193,60 @@ def test_rel_attention_pallas_matches_einsum_path(rng, monkeypatch):
     r, p_ = np.asarray(out_ref), np.asarray(out_pl)
     np.testing.assert_allclose(p_[0], r[0], atol=2e-4)
     np.testing.assert_allclose(p_[1, :7], r[1, :7], atol=2e-4)
+
+
+def test_flash_relpos_matches_bias_variant(rng):
+    """In-kernel rel-pos band == bias-input formulation."""
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.attention import (
+        _flash_relpos_forward)
+    import jax.numpy as jnp
+
+    b, t, h, dh = 2, 24, 2, 16
+    qu = jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+    qv = jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+    p = jnp.asarray(rng.standard_normal((2 * t - 1, h, dh)).astype(np.float32) * 0.3)
+    lengths = jnp.array([24, 15])
+    bd_full = jnp.einsum("bihd,lhd->bhil", qv, p)
+    idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)
+    bias = jnp.take_along_axis(bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1)
+    ref = flash_attention_reference(qu, k, v, bias, lengths, 0.25)
+    got = _flash_relpos_forward(qu, qv, k, v, p, lengths, 0.25, block=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(ref)[0], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got)[1, :15], np.asarray(ref)[1, :15], atol=2e-5)
+
+
+def test_flash_relpos_backward_matches_autodiff(rng):
+    """Custom bwd (incl. the rel-distance scatter for dp/dqv) == autodiff of
+    the bias-formulated reference."""
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas import attention as A
+
+    b, t, h, dh = 1, 12, 2, 8
+    qu, qv, k, v = (
+        jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+        for _ in range(4)
+    )
+    p = jnp.asarray(rng.standard_normal((2 * t - 1, h, dh)).astype(np.float32) * 0.3)
+    lengths = jnp.array([t - 3])
+
+    def ref_fn(qu, qv, k, v, p):
+        bd_full = jnp.einsum("bihd,lhd->bhil", qv, p)
+        idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)
+        bias = jnp.take_along_axis(bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1)
+        return jnp.sum(flash_attention_reference(qu, k, v, bias, lengths, 0.5) ** 2)
+
+    grads_ref = jax.grad(ref_fn, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
+
+    out = None
+    # forward via the reference (same math), custom bwd via _far_bwd
+    bd_full = jnp.einsum("bihd,lhd->bhil", qv, p)
+    idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)
+    bias = jnp.take_along_axis(bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1)
+    out = flash_attention_reference(qu, k, v, bias, lengths, 0.5)
+    grads = A._far_bwd(0.5, (qu, qv, k, v, p, lengths), 2 * out)
+    names = ("dqu", "dqv", "dk", "dv", "dp")
+    for name, got, ref in zip(names, grads[:5], grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, err_msg=name
+        )
