@@ -178,6 +178,10 @@ class ModelConfig:
     # computation dtype: 'bfloat16' rides the MXU at full rate; params stay f32.
     compute_dtype: str = "float32"
     use_pallas: bool = False  # route hot ops through Pallas kernels
+    # rematerialise each Conformer block in backward (jax.checkpoint): trades
+    # ~1 extra forward of FLOPs for O(num_blocks) less activation HBM —
+    # enables long-form audio / big-batch training on one chip.
+    remat: bool = False
 
     def subsampled_length(self, t: int) -> int:
         return self.subsampling.subsampled_length(t)

@@ -76,7 +76,8 @@ class ConformerCTC(nn.Module):
             cfg.subsampling, cfg.encoder.d_model, dtype=self.dtype
         )
         self.encoder = ConformerEncoder(
-            cfg.encoder, use_pallas=cfg.use_pallas, dtype=self.dtype
+            cfg.encoder, use_pallas=cfg.use_pallas, remat=cfg.remat,
+            dtype=self.dtype,
         )
         self.input_dropout = nn.Dropout(cfg.encoder.dropout)
         # projection block: Linear → SiLU → masked BN (`asrnn.py:73-89`)

@@ -286,6 +286,7 @@ class ConformerBlock(nn.Module):
 class ConformerEncoder(nn.Module):
     config: ConformerConfig
     use_pallas: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -293,8 +294,13 @@ class ConformerEncoder(nn.Module):
         self, x: jnp.ndarray, lengths: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
         mask = length_mask(lengths, x.shape[1])
+        block_cls = ConformerBlock
+        if self.remat:
+            # recompute each block in the backward pass instead of storing
+            # its activations (static_argnums: `deterministic` is a py bool)
+            block_cls = nn.remat(ConformerBlock, static_argnums=(3,))
         for i in range(self.config.num_blocks):
-            x = ConformerBlock(
+            x = block_cls(
                 self.config,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,

@@ -132,3 +132,34 @@ def test_bf16_compute_dtype(rng):
     lp, _ = model.apply(variables, feats, jnp.array([16, 16]), deterministic=True)
     assert lp.dtype == jnp.float32  # final logits/log-probs stay f32
     assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_remat_matches_plain(rng):
+    """remat changes memory, not values or gradients."""
+    def build(remat):
+        enc = C.ConformerConfig(num_blocks=2, d_model=16, num_heads=2, ffn_dim=32,
+                                conv_kernel_size=5, dropout=0.0)
+        cfg = C.ModelConfig(encoder=enc,
+                            decoder=C.DecoderConfig(projection_dim=8, lstm_hidden=8,
+                                                    dropout=0.0),
+                            n_mels=8, remat=remat)
+        return ConformerCTC(cfg, vocab_size=7)
+
+    feats = jnp.asarray(rng.standard_normal((2, 16, 8)).astype(np.float32))
+    lens = jnp.array([16, 16])
+    m0, m1 = build(False), build(True)
+    params = m0.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                     feats, lens)
+    out0, _ = m0.apply(params, feats, lens, deterministic=True)
+    out1, _ = m1.apply(params, feats, lens, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-5)
+
+    def loss(m):
+        def f(p):
+            lp, _ = m.apply(p, feats, lens, deterministic=True)
+            return jnp.sum(lp ** 2)
+        return jax.grad(f)(params)
+
+    g0, g1 = loss(m0), loss(m1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
