@@ -176,3 +176,22 @@ def test_trainer_checkpoint_manager_hook(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path / "ck"), "best"))
     restored = mgr.restore_latest(tr.state)
     assert int(restored.step) == int(tr.state.step)
+
+
+def test_plot_curves_and_heatmap(tmp_path):
+    from nn_conformer_for_speech_recognition_tpu.train.evals import (
+        confusion_heatmap, plot_curves)
+
+    plot_curves({"train_loss": [3.0, 2.0, 1.0], "val_wer": [0.9, 0.5]},
+                str(tmp_path / "curves.pdf"))
+    assert os.path.exists(str(tmp_path / "curves.pdf"))
+
+    refs = ["go", "stop", "go", "yes"]
+    hyps = ["go", "go", "go", "yes"]
+    cm = confusion_heatmap(refs, hyps, ["go", "stop", "yes"],
+                           str(tmp_path / "cm.png"))
+    assert cm[0, 0] == 2 and cm[1, 0] == 1 and cm[2, 2] == 1
+    cmn = confusion_heatmap(refs, hyps, ["go", "stop", "yes"],
+                            str(tmp_path / "cmn.png"), normalize=True)
+    assert abs(cmn[1, 0] - 100.0) < 1e-6  # row-normalised %
+    assert os.path.exists(str(tmp_path / "cm.png"))
