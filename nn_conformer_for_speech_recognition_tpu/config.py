@@ -290,6 +290,9 @@ class TrainConfig:
     # path (`speechcommands.py:227-252`)
     add_noise: bool = False
     noise_std: float = 0.01
+    # CTC loss implementation: "xla" (lax.scan recursion) or "pallas"
+    # (fused alpha/beta kernels, `ops/pallas/ctc.py`)
+    ctc_impl: str = "xla"
 
 
 @_frozen

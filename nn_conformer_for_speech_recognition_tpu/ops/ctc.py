@@ -34,6 +34,70 @@ def _logaddexp3(a, b, c):
     return jnp.where(m <= LOG_EPS, LOG_EPS, out)
 
 
+def extended_labels(labels: jnp.ndarray, label_lengths: jnp.ndarray, blank_id: int):
+    """Blank-interleaved CTC label machinery shared by the XLA scan loss and
+    the Pallas kernel (`ops/pallas/ctc.py`).
+
+    Returns (ext (B,S), can_skip (B,S) bool, valid_pos (B,S) bool,
+    ext_len (B,)) with S = 2L+1.
+    """
+    b, l = labels.shape
+    s = 2 * l + 1
+    ext = jnp.full((b, s), blank_id, dtype=labels.dtype)
+    ext = ext.at[:, 1::2].set(labels)
+    # Can alpha skip from s-2? Only for non-blank positions whose label
+    # differs from the label two back.
+    prev2 = jnp.concatenate(
+        [jnp.full((b, 2), -1, dtype=ext.dtype), ext[:, :-2]], axis=1
+    )
+    is_label_pos = (jnp.arange(s)[None, :] % 2) == 1
+    can_skip = is_label_pos & (ext != prev2)
+    ext_len = 2 * label_lengths + 1
+    valid_pos = jnp.arange(s)[None, :] < ext_len[:, None]
+    return ext, can_skip, valid_pos, ext_len
+
+
+def emit_log_probs(log_probs: jnp.ndarray, ext: jnp.ndarray) -> jnp.ndarray:
+    """emit[b, t, s] = log_probs[b, t, ext[b, s]] — as a one-hot matmul.
+
+    A (B, T, S) advanced-indexing gather compiles pathologically on TPU
+    (measured 180 ms vs 2.3 ms at B=256, T=240, V=1024, S=201 on v5e); the
+    MXU one-hot contraction is ~77× faster and its adjoint is another matmul
+    instead of a scatter.  HIGHEST precision keeps the selection exact
+    (default-precision bf16 passes round the selected log-probs to ~2⁻⁸).
+    """
+    onehot = (
+        ext[:, :, None] == jnp.arange(log_probs.shape[2])[None, None, :]
+    ).astype(log_probs.dtype)
+    return jnp.einsum(
+        "btv,bsv->bts", log_probs, onehot, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def apply_reduction(
+    nll: jnp.ndarray,
+    ll: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    zero_infinity: bool,
+    reduction: Optional[str],
+) -> jnp.ndarray:
+    """torch-CTCLoss reduction + ``zero_infinity`` semantics (runner.py:35)."""
+    if zero_infinity:
+        # impossible alignment (e.g. label too long for input) → 0, matching
+        # torch's zero_infinity=True.
+        impossible = ll <= LOG_EPS / 2
+        nll = jnp.where(impossible, 0.0, nll)
+    if reduction is None or reduction == "none":
+        return nll
+    if reduction == "sum":
+        return jnp.sum(nll)
+    if reduction == "mean":
+        # torch CTCLoss 'mean': per-seq loss / target_length, then batch mean.
+        denom = jnp.maximum(label_lengths, 1).astype(nll.dtype)
+        return jnp.mean(nll / denom)
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
 def ctc_loss(
     log_probs: jnp.ndarray,
     labels: jnp.ndarray,
@@ -63,27 +127,19 @@ def ctc_loss(
     s = 2 * l + 1
 
     # Extended label sequence z: blank, y1, blank, y2, ..., blank. (B, S)
-    ext = jnp.full((b, s), blank_id, dtype=labels.dtype)
-    ext = ext.at[:, 1::2].set(labels)
+    ext, can_skip, valid_pos, ext_len = extended_labels(
+        labels, label_lengths, blank_id
+    )
 
-    # Can alpha skip from s-2? Only for non-blank positions whose label
-    # differs from the label two back.
-    prev2 = jnp.concatenate([jnp.full((b, 2), -1, dtype=ext.dtype), ext[:, :-2]], axis=1)
-    is_label_pos = (jnp.arange(s)[None, :] % 2) == 1
-    can_skip = is_label_pos & (ext != prev2)
-
-    # Positions beyond the true extended length 2*label_len+1 are invalid.
-    ext_len = 2 * label_lengths + 1
-    valid_pos = jnp.arange(s)[None, :] < ext_len[:, None]
+    # emit once for all (t, s) via the MXU (no per-step gathers in the scan)
+    emit_all = emit_log_probs(log_probs, ext)  # (B, T, S)
 
     # alpha_0
-    lp0 = jnp.take_along_axis(log_probs[:, 0, :], ext, axis=1)  # (B, S)
-    alpha0 = jnp.where(jnp.arange(s)[None, :] < 2, lp0, LOG_EPS)
+    alpha0 = jnp.where(jnp.arange(s)[None, :] < 2, emit_all[:, 0], LOG_EPS)
     alpha0 = jnp.where(valid_pos, alpha0, LOG_EPS)
 
-    def step(alpha, lp_t):
-        lp, t_idx = lp_t
-        emit = jnp.take_along_axis(lp, ext, axis=1)  # (B, S)
+    def step(alpha, emit_t):
+        emit, t_idx = emit_t
         shift1 = jnp.concatenate([jnp.full((b, 1), LOG_EPS), alpha[:, :-1]], axis=1)
         shift2 = jnp.concatenate([jnp.full((b, 2), LOG_EPS), alpha[:, :-2]], axis=1)
         shift2 = jnp.where(can_skip, shift2, LOG_EPS)
@@ -94,9 +150,9 @@ def ctc_loss(
         new = jnp.where(active, new, alpha)
         return new, None
 
-    lps = jnp.moveaxis(log_probs[:, 1:, :], 1, 0)  # (T-1, B, V)
+    emits = jnp.moveaxis(emit_all[:, 1:, :], 1, 0)  # (T-1, B, S)
     t_ids = jnp.arange(1, t)
-    alpha_final, _ = jax.lax.scan(step, alpha0, (lps, t_ids))
+    alpha_final, _ = jax.lax.scan(step, alpha0, (emits, t_ids))
 
     # NLL = -logsumexp(alpha[2L], alpha[2L-1]) at the final extended positions.
     idx_last = (ext_len - 1)[:, None]
@@ -106,23 +162,7 @@ def ctc_loss(
     # degenerate empty label (len 0): only the single blank position counts
     a_prev = jnp.where(ext_len[...] >= 2, a_prev, LOG_EPS)
     ll = jnp.logaddexp(a_last, a_prev)
-    nll = -ll
-
-    if zero_infinity:
-        # impossible alignment (e.g. label too long for input) → 0, matching
-        # torch's zero_infinity=True.
-        impossible = ll <= LOG_EPS / 2
-        nll = jnp.where(impossible, 0.0, nll)
-
-    if reduction is None or reduction == "none":
-        return nll
-    if reduction == "sum":
-        return jnp.sum(nll)
-    if reduction == "mean":
-        # torch CTCLoss 'mean': per-seq loss / target_length, then batch mean.
-        denom = jnp.maximum(label_lengths, 1).astype(nll.dtype)
-        return jnp.mean(nll / denom)
-    raise ValueError(f"unknown reduction {reduction!r}")
+    return apply_reduction(-ll, ll, label_lengths, zero_infinity, reduction)
 
 
 def ctc_loss_from_logits(

@@ -56,6 +56,18 @@ def _featurize(audio, audio_lengths, feat_cfg: FeatureConfig):
     return log_mel_spectrogram(audio, feat_cfg, audio_lengths)
 
 
+def _select_ctc(ctc_impl: str):
+    if ctc_impl == "pallas":
+        from nn_conformer_for_speech_recognition_tpu.ops.pallas.ctc import (
+            ctc_loss_pallas,
+        )
+
+        return ctc_loss_pallas
+    if ctc_impl != "xla":
+        raise ValueError(f"unknown ctc_impl {ctc_impl!r}")
+    return ctc_loss
+
+
 def make_train_step(
     model: ConformerCTC,
     feat_cfg: FeatureConfig,
@@ -63,8 +75,10 @@ def make_train_step(
     blank_id: int,
     use_specaugment: bool = True,
     noise_std: float = 0.0,
+    ctc_impl: str = "xla",
 ):
     """Returns jittable (state, audio, alen, targets, tlen) → (state, metrics)."""
+    ctc = _select_ctc(ctc_impl)
 
     def train_step(state: TrainState, audio, audio_lengths, targets, target_lengths):
         rng, sa_rng, do_rng, nz_rng = jax.random.split(state.rng, 4)
@@ -88,7 +102,7 @@ def make_train_step(
                 rngs={"dropout": do_rng},
                 mutable=["batch_stats"],
             )
-            per_seq = ctc_loss(
+            per_seq = ctc(
                 log_probs, targets, out_lengths, target_lengths,
                 blank_id=blank_id, reduction=None,
             )
@@ -237,12 +251,14 @@ class Trainer:
                 model, feat_cfg, train_cfg.specaugment, blank,
                 use_specaugment=train_cfg.use_specaugment,
                 noise_std=noise,
+                ctc_impl=train_cfg.ctc_impl,
             ),
             donate_argnums=(0,) if train_cfg.donate_state else (),
         )
         self._train_step_noaug = jax.jit(
             make_train_step(model, feat_cfg, train_cfg.specaugment, blank,
-                            use_specaugment=False),
+                            use_specaugment=False,
+                            ctc_impl=train_cfg.ctc_impl),
             donate_argnums=(0,) if train_cfg.donate_state else (),
         )
         self._eval_step = jax.jit(

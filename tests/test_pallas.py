@@ -250,3 +250,88 @@ def test_flash_relpos_backward_matches_autodiff(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=3e-4, err_msg=name
         )
+
+
+# ------------------------------------------------------------------ ctc loss
+
+
+def _ctc_rand(rng, b, t, v, l, ilens, llens):
+    logits = jnp.asarray(rng.standard_normal((b, t, v)).astype(np.float32))
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    labels = jnp.asarray(rng.integers(1, v, size=(b, l)).astype(np.int32))
+    return lp, labels, jnp.asarray(ilens, jnp.int32), jnp.asarray(llens, jnp.int32)
+
+
+def test_ctc_pallas_matches_xla_fwd_and_grad(rng):
+    from nn_conformer_for_speech_recognition_tpu.ops.ctc import ctc_loss
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.ctc import ctc_loss_pallas
+
+    # ragged inputs, an empty label, and an impossible alignment (ilen=3 <
+    # needed frames for L=9 → zero_infinity path)
+    lp, labels, ilen, llen = _ctc_rand(
+        rng, 5, 37, 12, 9, [37, 30, 25, 37, 3], [9, 5, 0, 7, 9]
+    )
+    ref = ctc_loss(lp, labels, ilen, llen, blank_id=0, reduction=None)
+    got = ctc_loss_pallas(
+        lp, labels, ilen, llen, blank_id=0, reduction=None, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    g_ref = jax.grad(
+        lambda x: ctc_loss(x, labels, ilen, llen, blank_id=0, reduction="mean")
+    )(lp)
+    g_got = jax.grad(
+        lambda x: ctc_loss_pallas(
+            x, labels, ilen, llen, blank_id=0, reduction="mean", interpret=True
+        )
+    )(lp)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_ctc_pallas_long_labels_multi_lane_tile(rng):
+    # S = 2*70+1 = 141 > 128: state axis spans two lane tiles, exercising the
+    # cross-tile pltpu.roll shifts; T=50 not a multiple of time_block=8.
+    from nn_conformer_for_speech_recognition_tpu.ops.ctc import ctc_loss
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.ctc import ctc_loss_pallas
+
+    b, t, v, l = 3, 150, 30, 70
+    lp, labels, ilen, llen = _ctc_rand(
+        rng, b, t, v, l, [150, 149, 144], [70, 64, 1]
+    )
+    ref = ctc_loss(lp, labels, ilen, llen, blank_id=0, reduction=None)
+    got = ctc_loss_pallas(
+        lp, labels, ilen, llen, blank_id=0, reduction=None, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=2e-4)
+
+    g_ref = jax.grad(
+        lambda x: ctc_loss(x, labels, ilen, llen, blank_id=0, reduction="sum")
+    )(lp)
+    g_got = jax.grad(
+        lambda x: ctc_loss_pallas(
+            x, labels, ilen, llen, blank_id=0, reduction="sum", interpret=True
+        )
+    )(lp)
+    # f32 accumulation-order noise over 150 recursion steps: a handful of
+    # elements land ~3e-4 apart between the scan and the kernel orderings
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=5e-4, atol=5e-4)
+
+
+def test_ctc_pallas_repeated_labels(rng):
+    # repeated tokens disable the skip transition (can_skip) — the part of
+    # the recursion most easily broken by shift/mask bugs
+    from nn_conformer_for_speech_recognition_tpu.ops.ctc import ctc_loss
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.ctc import ctc_loss_pallas
+
+    b, t, v = 2, 25, 6
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((b, t, v)).astype(np.float32)), axis=-1
+    )
+    labels = jnp.asarray([[2, 2, 2, 3, 3], [1, 2, 1, 2, 1]], jnp.int32)
+    ilen = jnp.asarray([25, 25], jnp.int32)
+    llen = jnp.asarray([5, 5], jnp.int32)
+    ref = ctc_loss(lp, labels, ilen, llen, blank_id=0, reduction=None)
+    got = ctc_loss_pallas(
+        lp, labels, ilen, llen, blank_id=0, reduction=None, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
