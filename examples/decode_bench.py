@@ -1,0 +1,81 @@
+"""Decode-path benchmark: greedy vs vectorized CTC beam search on TPU.
+
+The beam is the XLA-native fixed-width prefix search (`ops/decode.py`) —
+static shapes, rolling-hash merges, one lax.scan over time under vmap.
+This measures its cost per audio-second against greedy decode at NST
+pseudo-labeling shapes, deciding whether a Pallas beam kernel (SURVEY.md §7
+build order, last item) is worth building.
+
+Run: PYTHONPATH=/root/repo python examples/decode_bench.py
+Writes results/decode_tpu.json.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nn_conformer_for_speech_recognition_tpu.ops.decode import (
+    ctc_beam_search,
+    greedy_decode,
+)
+
+CASES = [
+    # (name, B, T, V, beam, prune, audio_seconds_per_utt)
+    ("speechcommands", 1024, 8, 38, 8, 8, 1.0),
+    ("wpm_longform", 64, 240, 1024, 8, 8, 30.0),
+    ("wpm_longform_wide", 64, 240, 1024, 16, 16, 30.0),
+]
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    results = {}
+    for name, b, t, v, beam, prune, secs in CASES:
+        lp = jax.nn.log_softmax(
+            jnp.asarray(rng.standard_normal((b, t, v)).astype(np.float32)), -1
+        )
+        lens = jnp.full((b,), t, jnp.int32)
+
+        g = jax.jit(lambda x, n: greedy_decode(x, n))
+        out = g(lp, lens); jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = g(lp, lens)
+        jax.block_until_ready(out)
+        dt_g = (time.perf_counter() - t0) / 10
+
+        bs = lambda x, n: ctc_beam_search(x, n, blank_id=0, beam=beam, prune=prune,
+                                          max_label_len=min(t, 128))
+        toks, _, _ = bs(lp, lens); jax.block_until_ready(toks)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            toks, _, _ = bs(lp, lens)
+        jax.block_until_ready(toks)
+        dt_b = (time.perf_counter() - t0) / 10
+
+        audio_s = b * secs
+        row = {
+            "greedy_ms": round(dt_g * 1e3, 2),
+            "greedy_audio_s_per_s": round(audio_s / dt_g, 0),
+            "beam_ms": round(dt_b * 1e3, 2),
+            "beam_audio_s_per_s": round(audio_s / dt_b, 0),
+            "beam": beam, "prune": prune, "B": b, "T": t, "V": v,
+        }
+        results[name] = row
+        print(f"{name:20s} greedy {dt_g*1e3:8.2f} ms ({row['greedy_audio_s_per_s']:.0f} a-s/s)  "
+              f"beam {dt_b*1e3:8.2f} ms ({row['beam_audio_s_per_s']:.0f} a-s/s)", flush=True)
+    out = pathlib.Path(__file__).resolve().parent.parent / "results" / "decode_tpu.json"
+    out.write_text(json.dumps(results, indent=1))
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

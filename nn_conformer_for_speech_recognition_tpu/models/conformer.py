@@ -162,11 +162,13 @@ class RelPositionMHSA(nn.Module):
                     "bihd,lhd->bhil", q + v_bias.astype(self.dtype), p,
                     preferred_element_type=jnp.float32,
                 )
-                # gather relative index l = (j - i) + (T-1) → absolute (i, j)
-                idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)
-                bd = jnp.take_along_axis(
-                    bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1
+                # relative index l = (j - i) + (T-1) → absolute (i, j) via the
+                # pad/reshape rel-shift (gathers compile pathologically on TPU)
+                from nn_conformer_for_speech_recognition_tpu.ops.relshift import (
+                    rel_shift,
                 )
+
+                bd = rel_shift(bd_full)
                 scores = (ac + bd) * scale
                 scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
                 attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)

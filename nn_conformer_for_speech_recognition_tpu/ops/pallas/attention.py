@@ -432,11 +432,15 @@ def _far_fwd(qu, qv, k, v, p, lengths, scale):
 
 
 def _far_bwd(scale, res, g):
+    from nn_conformer_for_speech_recognition_tpu.ops.relshift import (
+        rel_shift,
+        rel_shift_adjoint,
+    )
+
     qu, qv, k, v, p, lengths = res
     b, t, h, dh = qu.shape
-    idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)  # (T,T)
     bd_full = jnp.einsum("bihd,lhd->bhil", qv, p, preferred_element_type=jnp.float32)
-    bias = jnp.take_along_axis(bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1)
+    bias = rel_shift(bd_full)  # pad/reshape shift — no pathological gathers
 
     scores = jnp.einsum("bihd,bjhd->bhij", qu, k, preferred_element_type=jnp.float32)
     scores = (scores + bias) * scale
@@ -451,14 +455,8 @@ def _far_bwd(scale, res, g):
     dqu = jnp.einsum("bhij,bjhd->bihd", ds, k.astype(jnp.float32)).astype(qu.dtype)
     dk = jnp.einsum("bhij,bihd->bjhd", ds, qu.astype(jnp.float32)).astype(k.dtype)
     # re-bin ds over relative distances: dbd_full[..., i, l] = ds[..., i, j]
-    # with j = l - (T-1) + i (a gather — each (i, l) maps to at most one j)
-    l_idx = jnp.arange(2 * t - 1)[None, :]
-    j_idx = l_idx - (t - 1) + jnp.arange(t)[:, None]  # (T, 2T-1)
-    in_range = (j_idx >= 0) & (j_idx < t)
-    gathered = jnp.take_along_axis(
-        ds, jnp.broadcast_to(jnp.clip(j_idx, 0, t - 1), (b, h, t, 2 * t - 1)), axis=-1
-    )
-    dbd_full = jnp.where(in_range[None, None], gathered, 0.0)
+    # with j = l - (T-1) + i — the exact adjoint of rel_shift (pad/reshape)
+    dbd_full = rel_shift_adjoint(ds)
     dqv = jnp.einsum("bhil,lhd->bihd", dbd_full, p.astype(jnp.float32)).astype(qv.dtype)
     dp_table = jnp.einsum("bhil,bihd->lhd", dbd_full, qv.astype(jnp.float32)).astype(p.dtype)
     return dqu, dqv, dk, dv, dp_table, None

@@ -54,7 +54,15 @@ def _time_warp_single(x: jnp.ndarray, tau: jnp.ndarray, key: jax.Array, w_param:
     i0 = jnp.floor(src).astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, t - 1)
     frac = (src - i0.astype(jnp.float32))[:, None]
-    return x[i0] * (1.0 - frac) + x[i1] * frac
+    # linear interp as a (T, T) one-hot matmul instead of x[i0]/x[i1] gathers:
+    # batched advanced-indexing gathers compile pathologically on TPU
+    # (measured 2362 ms/step vs 13 ms for the whole Conformer-M train step at
+    # T=938 — docs/STATUS.md); the interp matrix rides the MXU and fuses.
+    j = jnp.arange(t)[None, :]
+    interp = (j == i0[:, None]) * (1.0 - frac) + (j == i1[:, None]) * frac
+    return jax.lax.dot(
+        interp.astype(x.dtype), x, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def _mask_axis_single(

@@ -163,3 +163,31 @@ def test_remat_matches_plain(rng):
     g0, g1 = loss(m0), loss(m1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_rel_shift_matches_gather_and_adjoint(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from nn_conformer_for_speech_recognition_tpu.ops.relshift import (
+        rel_shift,
+        rel_shift_adjoint,
+    )
+
+    b, h, t = 2, 3, 7
+    x = jnp.asarray(rng.standard_normal((b, h, t, 2 * t - 1)).astype(np.float32))
+    idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)
+    ref = jnp.take_along_axis(x, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1)
+    np.testing.assert_array_equal(np.asarray(rel_shift(x)), np.asarray(ref))
+
+    # adjointness: <rel_shift(x), y> == <x, rel_shift_adjoint(y)>
+    y = jnp.asarray(rng.standard_normal((b, h, t, t)).astype(np.float32))
+    lhs = jnp.vdot(rel_shift(x), y)
+    rhs = jnp.vdot(x, rel_shift_adjoint(y))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-6)
+
+    # and it equals the autodiff transpose of rel_shift
+    _, vjp = jax.vjp(rel_shift, x)
+    np.testing.assert_allclose(
+        np.asarray(vjp(y)[0]), np.asarray(rel_shift_adjoint(y)), atol=1e-7
+    )
