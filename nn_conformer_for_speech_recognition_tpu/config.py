@@ -290,9 +290,11 @@ class TrainConfig:
     # path (`speechcommands.py:227-252`)
     add_noise: bool = False
     noise_std: float = 0.01
-    # CTC loss implementation: "xla" (lax.scan recursion) or "pallas"
-    # (fused alpha/beta kernels, `ops/pallas/ctc.py`)
-    ctc_impl: str = "xla"
+    # CTC loss implementation: "auto" (pallas on TPU, xla elsewhere), "xla"
+    # (lax.scan recursion) or "pallas" (fused alpha/beta kernels,
+    # `ops/pallas/ctc.py`). In-context on v5e the scan costs ~54 ms/step at
+    # long-form shapes where the fused kernel costs ~1 ms (docs/STATUS.md).
+    ctc_impl: str = "auto"
 
 
 @_frozen

@@ -57,6 +57,8 @@ def _featurize(audio, audio_lengths, feat_cfg: FeatureConfig):
 
 
 def _select_ctc(ctc_impl: str):
+    if ctc_impl == "auto":
+        ctc_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if ctc_impl == "pallas":
         from nn_conformer_for_speech_recognition_tpu.ops.pallas.ctc import (
             ctc_loss_pallas,
@@ -92,6 +94,12 @@ def make_train_step(
         feats, frame_lengths = _featurize(audio, audio_lengths, feat_cfg)
         if use_specaugment:
             feats = specaugment(feats, frame_lengths, sa_rng, sa_cfg)
+            # scheduling fence: without it XLA interleaves the SA mask/warp
+            # graph with the remat'd Conformer backward and the long-form
+            # train step regresses 15 → 60+ ms/step (docs/STATUS.md); the
+            # barrier pins augmentation before the model, costing nothing
+            # (SA itself is 0.07 ms standalone at B=16, T=938).
+            feats = jax.lax.optimization_barrier(feats)
 
         def loss_fn(params):
             (log_probs, out_lengths), updates = model.apply(
@@ -132,10 +140,12 @@ def make_eval_step(
     pad_id: int,
     lm_apply=None,
     lm_weight: float = 0.3,
+    ctc_impl: str = "auto",
 ):
     """``lm_apply`` (ids → logits) enables shallow LM fusion on the eval
     path — the reference's ``x += lm(ngram, argmax(x))`` hook
     (`asrnn.py:257-258`), via `models/lm.shallow_fusion`."""
+    ctc = _select_ctc(ctc_impl)
 
     def eval_step(state: TrainState, audio, audio_lengths, targets, target_lengths):
         feats, frame_lengths = _featurize(audio, audio_lengths, feat_cfg)
@@ -149,7 +159,7 @@ def make_eval_step(
             from nn_conformer_for_speech_recognition_tpu.models.lm import shallow_fusion
 
             log_probs = shallow_fusion(log_probs, lm_apply, lm_weight)
-        per_seq = ctc_loss(
+        per_seq = ctc(
             log_probs, targets, out_lengths, target_lengths,
             blank_id=blank_id, reduction=None,
         )
@@ -263,7 +273,8 @@ class Trainer:
         )
         self._eval_step = jax.jit(
             make_eval_step(model, feat_cfg, blank, pad,
-                           lm_apply=lm_apply, lm_weight=lm_weight)
+                           lm_apply=lm_apply, lm_weight=lm_weight,
+                           ctc_impl=train_cfg.ctc_impl)
         )
         self._predict_step = jax.jit(make_predict_step(model, feat_cfg, pad))
         self._beam_step = jax.jit(make_beam_step(model, feat_cfg, blank))
