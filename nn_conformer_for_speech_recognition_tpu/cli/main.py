@@ -39,6 +39,7 @@ def _common_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--use-pallas", action="store_true")
+    p.add_argument("--ctc-impl", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--n-mels", type=int, default=40)
     p.add_argument("--checkpoint", default=None, help="restore full state")
@@ -88,6 +89,7 @@ def _build(args):
         batch_size=args.batch_size,
         optimizer=C.OptimizerConfig(learning_rate=getattr(args, "lr", 2e-5)),
         use_specaugment=not getattr(args, "no_specaugment", False),
+        ctc_impl=getattr(args, "ctc_impl", "auto"),
     )
     mesh_cfg = C.MeshConfig(model_parallel_size=args.model_parallel)
     model = ConformerCTC(mcfg, vocab_size=len(vocab))
