@@ -34,10 +34,48 @@ CASES = [
 ]
 
 
+def pseudo_label_throughput():
+    """End-to-end NST pseudo-labeling: audio → featurize → Conformer-M →
+    greedy decode, the sharded-inference job of `nst/driver.py` on one chip."""
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+    from nn_conformer_for_speech_recognition_tpu.ops.features import log_mel_spectrogram
+
+    B, SEC, SR = 64, 30.0, 16000
+    feat_cfg = C.FeatureConfig()
+    mcfg = C.conformer_m(use_pallas=True)
+    model = ConformerCTC(mcfg, vocab_size=1024)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((B, int(SEC * SR))).astype(np.float32) * 0.1)
+    alen = jnp.full((B,), int(SEC * SR), jnp.int32)
+    feats, flens = log_mel_spectrogram(audio, feat_cfg, alen)
+    vs = jax.jit(model.init)(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, feats, flens
+    )
+
+    @jax.jit
+    def predict(vs, audio, alen):
+        feats, flens = log_mel_spectrogram(audio, feat_cfg, alen)
+        lp, ol = model.apply(vs, feats, flens, deterministic=True)
+        return greedy_decode(lp, ol)
+
+    ids = predict(vs, audio, alen); jax.block_until_ready(ids)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        ids = predict(vs, audio, alen)
+    jax.block_until_ready(ids)
+    dt = (time.perf_counter() - t0) / 10
+    thr = B * SEC / dt
+    print(f"pseudo-label e2e (Conformer-M, B={B}, 30 s): {dt*1e3:.2f} ms "
+          f"→ {thr:.0f} audio-s/s", flush=True)
+    return {"ms": round(dt * 1e3, 2), "audio_s_per_s": round(thr, 0), "B": B}
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     results = {}
+    results["pseudo_label_e2e"] = pseudo_label_throughput()
     for name, b, t, v, beam, prune, secs in CASES:
         lp = jax.nn.log_softmax(
             jnp.asarray(rng.standard_normal((b, t, v)).astype(np.float32)), -1

@@ -27,7 +27,10 @@ import numpy as np
 from nn_conformer_for_speech_recognition_tpu import config as C
 from nn_conformer_for_speech_recognition_tpu.data.vocab import WordVocab
 from nn_conformer_for_speech_recognition_tpu.ops.features import log_mel_spectrogram
-from nn_conformer_for_speech_recognition_tpu.train.loop import make_train_step
+from nn_conformer_for_speech_recognition_tpu.train.loop import (
+    make_augment_step,
+    make_feature_train_step,
+)
 from nn_conformer_for_speech_recognition_tpu.train.optim import make_optimizer
 from nn_conformer_for_speech_recognition_tpu.train.state import TrainState
 
@@ -66,11 +69,17 @@ def build(use_pallas: bool, remat: bool, ctc_impl: str):
         tx=tx,
         rng=jax.random.key(0),
     )
-    step = jax.jit(
-        make_train_step(model, feat_cfg, C.SpecAugmentConfig(), vocab.blank_id,
-                        use_specaugment=True, ctc_impl=ctc_impl),
-        donate_argnums=(0,),
-    )
+    # two-dispatch form, as the Trainer runs it (deterministic core schedule)
+    aug = jax.jit(make_augment_step(feat_cfg, C.SpecAugmentConfig(),
+                                    use_specaugment=True))
+    core = jax.jit(make_feature_train_step(model, vocab.blank_id,
+                                           ctc_impl=ctc_impl),
+                   donate_argnums=(0,))
+
+    def step(state, audio, alen, targets, tlen):
+        feats, fl = aug(state.rng, audio, alen)
+        return core(state, feats, fl, targets, tlen)
+
     return step, state, (audio, alen, targets, tlen)
 
 

@@ -70,20 +70,29 @@ def _select_ctc(ctc_impl: str):
     return ctc_loss
 
 
-def make_train_step(
-    model: ConformerCTC,
+def make_augment_step(
     feat_cfg: FeatureConfig,
     sa_cfg: SpecAugmentConfig,
-    blank_id: int,
     use_specaugment: bool = True,
     noise_std: float = 0.0,
-    ctc_impl: str = "xla",
 ):
-    """Returns jittable (state, audio, alen, targets, tlen) → (state, metrics)."""
-    ctc = _select_ctc(ctc_impl)
+    """(rng, audio, alen) → (feats, frame_lengths): noise + featurize + SA.
 
-    def train_step(state: TrainState, audio, audio_lengths, targets, target_lengths):
-        rng, sa_rng, do_rng, nz_rng = jax.random.split(state.rng, 4)
+    Kept as its OWN jitted dispatch by the Trainer: fused into the training
+    program, XLA's scheduler sometimes interleaves this subgraph with the
+    remat'd Conformer backward and the long-form step flips 12 → 60+ ms
+    between otherwise-identical compiles (docs/STATUS.md env fact 7; Mosaic
+    programs miss the persistent compile cache, so every process rolls the
+    dice again).  The split costs one extra ~0.1 ms dispatch and makes the
+    fast schedule deterministic.
+
+    RNG discipline matches the fused step bit-for-bit: this consumes splits
+    1 and 3 of ``state.rng`` (SA, noise), the core consumes 0 and 2
+    (next-rng, dropout).
+    """
+
+    def augment(rng, audio, audio_lengths):
+        _, sa_rng, _, nz_rng = jax.random.split(rng, 4)
         if noise_std > 0.0:
             # waveform gaussian noise (`speechcommands.py:227-252`)
             from nn_conformer_for_speech_recognition_tpu.ops.specaugment import (
@@ -94,12 +103,22 @@ def make_train_step(
         feats, frame_lengths = _featurize(audio, audio_lengths, feat_cfg)
         if use_specaugment:
             feats = specaugment(feats, frame_lengths, sa_rng, sa_cfg)
-            # scheduling fence: without it XLA interleaves the SA mask/warp
-            # graph with the remat'd Conformer backward and the long-form
-            # train step regresses 15 → 60+ ms/step (docs/STATUS.md); the
-            # barrier pins augmentation before the model, costing nothing
-            # (SA itself is 0.07 ms standalone at B=16, T=938).
-            feats = jax.lax.optimization_barrier(feats)
+        return feats, frame_lengths
+
+    return augment
+
+
+def make_feature_train_step(
+    model: ConformerCTC,
+    blank_id: int,
+    ctc_impl: str = "auto",
+):
+    """(state, feats, frame_lengths, targets, tlen) → (state, metrics):
+    the model/loss/optimizer core, taking precomputed (augmented) features."""
+    ctc = _select_ctc(ctc_impl)
+
+    def train_step(state: TrainState, feats, frame_lengths, targets, target_lengths):
+        rng, _, do_rng, _ = jax.random.split(state.rng, 4)
 
         def loss_fn(params):
             (log_probs, out_lengths), updates = model.apply(
@@ -124,6 +143,35 @@ def make_train_step(
         new_state = state.apply_gradients(grads, new_bs, rng)
         gnorm = optax_global_norm(grads)
         return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+def make_train_step(
+    model: ConformerCTC,
+    feat_cfg: FeatureConfig,
+    sa_cfg: SpecAugmentConfig,
+    blank_id: int,
+    use_specaugment: bool = True,
+    noise_std: float = 0.0,
+    ctc_impl: str = "auto",
+):
+    """Single-dispatch (state, audio, alen, targets, tlen) → (state, metrics).
+
+    Composes `make_augment_step` + `make_feature_train_step` in one jittable
+    with an `optimization_barrier` fence between them.  The Trainer instead
+    dispatches the two halves separately (see `make_augment_step` for why);
+    this fused form is kept for scripts/tests that want one function.
+    """
+    aug = make_augment_step(feat_cfg, sa_cfg, use_specaugment, noise_std)
+    core = make_feature_train_step(model, blank_id, ctc_impl)
+
+    def train_step(state: TrainState, audio, audio_lengths, targets, target_lengths):
+        feats, frame_lengths = aug(state.rng, audio, audio_lengths)
+        if use_specaugment:
+            # scheduling fence (docs/STATUS.md env fact 7b)
+            feats = jax.lax.optimization_barrier(feats)
+        return core(state, feats, frame_lengths, targets, target_lengths)
 
     return train_step
 
@@ -256,21 +304,32 @@ class Trainer:
         blank = vocab.blank_id
         pad = vocab.pad_id
         noise = train_cfg.noise_std if train_cfg.add_noise else 0.0
-        self._train_step = jax.jit(
-            make_train_step(
-                model, feat_cfg, train_cfg.specaugment, blank,
-                use_specaugment=train_cfg.use_specaugment,
-                noise_std=noise,
-                ctc_impl=train_cfg.ctc_impl,
-            ),
-            donate_argnums=(0,) if train_cfg.donate_state else (),
+        # two dispatches per step: augmentation and the model/loss/optimizer
+        # core are compiled separately so the core's (fast) schedule is
+        # deterministic — see make_augment_step's docstring.
+        donate = (0,) if train_cfg.donate_state else ()
+        self._augment_step = jax.jit(
+            make_augment_step(feat_cfg, train_cfg.specaugment,
+                              use_specaugment=train_cfg.use_specaugment,
+                              noise_std=noise)
         )
-        self._train_step_noaug = jax.jit(
-            make_train_step(model, feat_cfg, train_cfg.specaugment, blank,
-                            use_specaugment=False,
-                            ctc_impl=train_cfg.ctc_impl),
-            donate_argnums=(0,) if train_cfg.donate_state else (),
+        self._augment_step_noaug = jax.jit(
+            make_augment_step(feat_cfg, train_cfg.specaugment,
+                              use_specaugment=False)
         )
+        self._train_core = jax.jit(
+            make_feature_train_step(model, blank, ctc_impl=train_cfg.ctc_impl),
+            donate_argnums=donate,
+        )
+
+        def _composed(aug):
+            def step(state, audio, audio_lengths, targets, target_lengths):
+                feats, fl = aug(state.rng, audio, audio_lengths)
+                return self._train_core(state, feats, fl, targets, target_lengths)
+            return step
+
+        self._train_step = _composed(self._augment_step)
+        self._train_step_noaug = _composed(self._augment_step_noaug)
         self._eval_step = jax.jit(
             make_eval_step(model, feat_cfg, blank, pad,
                            lm_apply=lm_apply, lm_weight=lm_weight,
