@@ -101,17 +101,44 @@ def bench(name, use_pallas, remat, ctc_impl):
     return {"ms_per_step": round(dt * 1e3, 2), "audio_s_per_s": round(thr, 0)}
 
 
+VARIANTS = {
+    "xla": ("xla", False, False, "xla"),
+    "pallas_remat": ("pallas+remat", True, True, "xla"),
+    "pallas_remat_plctc": ("pallas+remat+plctc", True, True, "pallas"),
+}
+
+
 def main():
-    print("devices:", jax.devices(), flush=True)
+    # Each variant runs in a FRESH subprocess: leftover HBM allocations from
+    # a previous variant degrade XLA's latency-hiding prefetch and the same
+    # program measures 4-5× slower (14.7 ms fresh vs 62.6 ms run third —
+    # docs/STATUS.md env fact 8).
+    import subprocess
+    import sys as _sys
+
     results = {}
-    results["xla"] = bench("xla", False, False, "xla")
-    results["pallas_remat"] = bench("pallas+remat", True, True, "xla")
-    results["pallas_remat_plctc"] = bench("pallas+remat+plctc", True, True, "pallas")
-    out = pathlib.Path(__file__).resolve().parent.parent / "results" / "longaudio_train_tpu.json"
-    out.write_text(json.dumps({"B": B, "seconds": SECONDS, "V": V, "L": L,
-                               "model": "conformer_m", "variants": results}, indent=1))
-    print("wrote", out)
+    for key in VARIANTS:
+        out = subprocess.run(
+            [_sys.executable, __file__, "--variant", key],
+            capture_output=True, text=True, timeout=2400,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(out.stdout[-2000:], out.stderr[-2000:])
+            raise RuntimeError(f"variant {key} failed")
+        results[key] = json.loads(line[-1])
+    outp = pathlib.Path(__file__).resolve().parent.parent / "results" / "longaudio_train_tpu.json"
+    outp.write_text(json.dumps({"B": B, "seconds": SECONDS, "V": V, "L": L,
+                                "model": "conformer_m", "variants": results}, indent=1))
+    print("wrote", outp)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--variant":
+        key = sys.argv[2]
+        import jax as _jax
+        print("devices:", _jax.devices(), flush=True)
+        r = bench(*VARIANTS[key])
+        print(json.dumps(r), flush=True)
+    else:
+        main()

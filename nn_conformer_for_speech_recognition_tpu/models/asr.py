@@ -32,16 +32,54 @@ from nn_conformer_for_speech_recognition_tpu.models.subsampling import ConvSubsa
 
 
 class BiLSTM(nn.Module):
-    """Bidirectional LSTM over padded sequences; scan-based (lax.scan inside
-    ``nn.RNN``), sequence-length aware in both directions."""
+    """Bidirectional LSTM over padded sequences.
+
+    Two compute paths:
+      * flax ``nn.RNN`` + ``OptimizedLSTMCell`` (lax.scan → XLA ``while``);
+      * ``use_pallas``: the fused kernel (`ops/pallas/lstm.py`) with the
+        input projection hoisted out of the recurrence — one kernel per
+        direction instead of a per-step ``while`` (the while's launch +
+        carry copies dominate the long-form train step, docs/STATUS.md).
+
+    The Pallas path owns packed params (w_ih/w_hh/bias per direction), so
+    checkpoints are NOT interchangeable across the flag; valid-region
+    outputs of the two paths agree in distribution but not parameter-wise.
+    """
 
     hidden: int
     num_layers: int = 1
     bidirectional: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas:
+            from nn_conformer_for_speech_recognition_tpu.ops.pallas.lstm import (
+                lstm_pallas,
+            )
+
+            dirs = [("fwd", False)] + ([("bwd", True)] if self.bidirectional else [])
+            for i in range(self.num_layers):
+                d = x.shape[-1]
+                outs = []
+                for name, rev in dirs:
+                    w_ih = self.param(
+                        f"lstm_{name}_{i}_w_ih",
+                        nn.initializers.lecun_normal(), (d, 4 * self.hidden),
+                    )
+                    w_hh = self.param(
+                        f"lstm_{name}_{i}_w_hh",
+                        nn.initializers.orthogonal(), (self.hidden, 4 * self.hidden),
+                    )
+                    bias = self.param(
+                        f"lstm_{name}_{i}_bias",
+                        nn.initializers.zeros, (4 * self.hidden,),
+                    )
+                    xw = x.astype(self.dtype) @ w_ih.astype(self.dtype) + bias
+                    outs.append(lstm_pallas(xw, w_hh, lengths, reverse=rev))
+                x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+            return x.astype(self.dtype)
         for i in range(self.num_layers):
             fwd = nn.RNN(
                 nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
@@ -88,6 +126,7 @@ class ConformerCTC(nn.Module):
             num_layers=cfg.decoder.lstm_layers,
             bidirectional=cfg.decoder.bidirectional,
             dtype=self.dtype,
+            use_pallas=cfg.use_pallas,
         )
         self.decoder_dropout = nn.Dropout(cfg.decoder.dropout)
         self.final_fc = nn.Dense(self.vocab_size, dtype=jnp.float32)

@@ -117,8 +117,10 @@ def _flash_kernel(
     jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
 )
 def _flash_forward(
-    qu, k, v, bias, lengths, scale, block_q=128, block_k=128, interpret=False
+    qu, k, v, bias, lengths, scale, block_q=128, block_k=128, interpret=None
 ):
+    if interpret is None:  # auto: interpret off-TPU so CPU tests/mesh work
+        interpret = jax.default_backend() != "tpu"
     b, t, h, dh = qu.shape
     # clamp blocks to the (8-aligned) sequence length: short utterances
     # (1s clips are 8 frames post-subsampling) would otherwise pad to a full
@@ -334,12 +336,14 @@ def _flash_relpos_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block", "interpret"))
-def _flash_relpos_forward(qu, qv, k, v, p, lengths, scale, block=128, interpret=False):
+def _flash_relpos_forward(qu, qv, k, v, p, lengths, scale, block=128, interpret=None):
     """p: (2T-1, H, dh) projected rel-pos table; everything else as before.
 
     Requires a single block size for q and kv so the band offset is
     block-aligned: l0 = T - block + block*(kv - q).
     """
+    if interpret is None:  # auto: interpret off-TPU so CPU tests/mesh work
+        interpret = jax.default_backend() != "tpu"
     b, t, h, dh = qu.shape
     block = min(block, _round_up(t, 8))
     t_pad = _round_up(t, block)

@@ -53,8 +53,10 @@ def _dw_kernel(x_ref, w_ref, o_ref, *, k: int, t: int):
 
 @functools.partial(jax.jit, static_argnames=("block_c", "interpret"))
 def _dw_forward(
-    x: jnp.ndarray, w: jnp.ndarray, block_c: int = 128, interpret: bool = False
+    x: jnp.ndarray, w: jnp.ndarray, block_c: int = 128, interpret=None
 ) -> jnp.ndarray:
+    if interpret is None:  # auto: interpret off-TPU so CPU tests/mesh work
+        interpret = jax.default_backend() != "tpu"
     b, t, c = x.shape
     k = w.shape[0]
     pad_lo = (k - 1) // 2

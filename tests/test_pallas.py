@@ -335,3 +335,78 @@ def test_ctc_pallas_repeated_labels(rng):
         lp, labels, ilen, llen, blank_id=0, reduction=None, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------------------ lstm
+
+
+def test_lstm_pallas_matches_scan_reference(rng):
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.lstm import (
+        lstm_pallas,
+        lstm_reference,
+    )
+
+    B, T, H = 5, 11, 7
+    xw = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32) * 0.5)
+    wh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.3)
+    lens = jnp.asarray([11, 7, 1, 11, 0], jnp.int32)
+
+    for rev in (False, True):
+        got = lstm_pallas(xw, wh, lens, reverse=rev, interpret=True)
+        ref = lstm_reference(xw, wh, lens, reverse=rev)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+        def loss(f):
+            def inner(xw, wh):
+                out = f(xw, wh, lens, reverse=rev)
+                return jnp.sum(jnp.sin(out) * jnp.arange(1, out.size + 1).reshape(out.shape))
+            return inner
+
+        gp = jax.grad(loss(lambda *a, **k: lstm_pallas(*a, interpret=True, **k)),
+                      argnums=(0, 1))(xw, wh)
+        gr = jax.grad(loss(lstm_reference), argnums=(0, 1))(xw, wh)
+        np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]), atol=5e-4)
+
+
+def test_lstm_pallas_wide_hidden_multi_lane(rng):
+    # H=160 > 128: gate chunks span lane-tile boundaries after padding
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.lstm import (
+        lstm_pallas,
+        lstm_reference,
+    )
+
+    B, T, H = 3, 6, 160
+    xw = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32) * 0.2)
+    wh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1)
+    lens = jnp.asarray([6, 4, 6], jnp.int32)
+    got = lstm_pallas(xw, wh, lens, interpret=True)
+    ref = lstm_reference(xw, wh, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_bilstm_model_pallas_path(rng):
+    """ConformerCTC with use_pallas routes the decoder through the fused
+    LSTM kernel: forward shapes + finite grads on the CPU mesh."""
+    import jax
+
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+
+    enc = C.ConformerConfig(num_blocks=1, d_model=32, num_heads=2, ffn_dim=64,
+                            conv_kernel_size=7, dropout=0.0)
+    dec = C.DecoderConfig(projection_dim=16, lstm_hidden=16, dropout=0.0)
+    mcfg = C.ModelConfig(encoder=enc, decoder=dec, n_mels=13, use_pallas=True)
+    model = ConformerCTC(mcfg, vocab_size=9)
+    feats = jnp.asarray(rng.standard_normal((2, 20, 13)).astype(np.float32))
+    flens = jnp.asarray([20, 12], jnp.int32)
+    vs = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                    feats, flens)
+    lp, ol = model.apply(vs, feats, flens, deterministic=True)
+    assert lp.shape[0] == 2 and lp.shape[2] == 9
+    g = jax.grad(
+        lambda p: jnp.sum(model.apply(
+            {"params": p, "batch_stats": vs.get("batch_stats", {})},
+            feats, flens, deterministic=True)[0])
+    )(vs["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
