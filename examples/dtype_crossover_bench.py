@@ -81,18 +81,36 @@ def bench(name, factory, batch, seconds, vsz, tlen_val, dtype):
 
 
 def main():
-    print("devices:", jax.devices(), flush=True)
+    # fresh subprocess per measurement: in-process leftovers skew step time
+    # 4-5x (docs/STATUS.md env fact 8)
+    import subprocess
+
     results = {}
-    for name, factory, batch, seconds, vsz, tl in CASES:
+    for name, *_ in CASES:
         row = {}
         for dtype in ("float32", "bfloat16"):
-            row[dtype] = round(bench(name, factory, batch, seconds, vsz, tl, dtype), 0)
+            out = subprocess.run(
+                [sys.executable, __file__, "--case", name, dtype],
+                capture_output=True, text=True, timeout=2400,
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                print(out.stdout[-2000:], out.stderr[-2000:])
+                raise RuntimeError(f"{name}/{dtype} failed")
+            row[dtype] = json.loads(lines[-1])["audio_s_per_s"]
         row["bf16_speedup"] = round(row["bfloat16"] / row["float32"], 3)
         results[name] = row
+        print(name, row, flush=True)
     out = pathlib.Path(__file__).resolve().parent.parent / "results" / "dtype_crossover_tpu.json"
     out.write_text(json.dumps(results, indent=1))
     print("wrote", out)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--case":
+        case = next(c for c in CASES if c[0] == sys.argv[2])
+        name, factory, batch, seconds, vsz, tl = case
+        thr = bench(name, factory, batch, seconds, vsz, tl, sys.argv[3])
+        print(json.dumps({"audio_s_per_s": round(thr, 0)}), flush=True)
+    else:
+        main()
