@@ -74,20 +74,37 @@ _HASH_MULT = jnp.uint32(1000003)
 
 def _beam_step(state: BeamState, inputs, *, blank_id: int, beam: int, prune: int):
     logp, active = inputs  # (V,), scalar bool
-    lmax = state.prefixes.shape[1]
 
     # Top-`prune` tokens this frame (excluding blank — handled separately).
     logp_noblank = logp.at[blank_id].set(NEG_INF)
     tok_lp, tok_ids = jax.lax.top_k(logp_noblank, prune)  # (P,)
-
-    # ---- candidate generation -------------------------------------------
-    # "stay" candidates: one per beam (blank emission or repeat of last).
     lp_blank = logp[blank_id]
-    stay_pb = jnp.logaddexp(state.p_b, state.p_nb) + lp_blank  # (beam,)
     # repeat of last token extends p_nb without changing the prefix
     lp_last = jnp.where(
         state.last >= 0, logp[jnp.maximum(state.last, 0)], NEG_INF
     )
+    return _beam_step_core(
+        state, tok_lp, tok_ids, lp_blank, lp_last, active, beam=beam, prune=prune
+    )
+
+
+def _beam_step_core(
+    state: BeamState, tok_lp, tok_ids, lp_blank, lp_last, active,
+    *, beam: int, prune: int,
+):
+    """One prefix-beam update from per-frame candidate quantities.
+
+    ``tok_lp``/``tok_ids`` (P,): the frame's pruned non-blank candidates;
+    ``lp_blank`` scalar; ``lp_last`` (beam,): log-prob of each beam's last
+    token this frame (NEG_INF for empty prefixes).  Shared by the dense path
+    (`_beam_step`) and the vocab-sharded TP path
+    (`ctc_beam_search_sharded`), which computes these via collectives.
+    """
+    lmax = state.prefixes.shape[1]
+
+    # ---- candidate generation -------------------------------------------
+    # "stay" candidates: one per beam (blank emission or repeat of last).
+    stay_pb = jnp.logaddexp(state.p_b, state.p_nb) + lp_blank  # (beam,)
     stay_pnb = state.p_nb + lp_last
 
     # "extend" candidates: beam × prune, append token c.
@@ -223,3 +240,101 @@ def ctc_beam_search(
         return final.prefixes[order], final.lengths[order], score[order]
 
     return jax.vmap(single)(log_probs, frame_lengths)
+
+
+def ctc_beam_search_sharded(
+    lp_local: jnp.ndarray,
+    frame_lengths: Optional[jnp.ndarray] = None,
+    *,
+    axis: str,
+    blank_id: int = 0,
+    beam: int = 8,
+    prune: int = 8,
+    max_label_len: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Vocab-sharded CTC prefix beam search (call under ``shard_map``).
+
+    For tensor-parallel decode the final projection is column-sharded, so
+    each chip holds ``lp_local`` = its (B, T, V/mp) slice of the log-probs
+    (PartitionSpec(None, None, axis)) and the full log-probs never
+    materialise on one chip.  Per SURVEY.md §7 ("cross-chip hypothesis
+    exchange for model-sharded decode"), the V-dependent pieces ride
+    collectives over ``axis``:
+
+      * per-frame candidates: local top-`prune` → ``all_gather`` →
+        global top-`prune` (exact: the global top-P is contained in the
+        union of local top-Ps);
+      * blank log-prob: masked ``psum`` (exactly one shard owns blank);
+      * the repeat-of-last lookup inside the scan: one-hot contraction over
+        the local slice + ``psum``.
+
+    The V-independent beam bookkeeping is replicated on every chip, so the
+    returned hypotheses are identical across shards.  Returns the same
+    (tokens, lengths, scores) as `ctc_beam_search`.
+    """
+    b, t, v_local = lp_local.shape
+    mp = jax.lax.psum(1, axis)
+    offset = jax.lax.axis_index(axis) * v_local
+    if frame_lengths is None:
+        frame_lengths = jnp.full((b,), t, jnp.int32)
+
+    # -- per-frame candidates (precomputed for all frames) -----------------
+    local_ids = offset + jnp.arange(v_local)
+    is_blank = local_ids == blank_id  # (Vl,)
+    lp_noblank = jnp.where(is_blank[None, None, :], NEG_INF, lp_local)
+    p_local = min(prune, v_local)
+    loc_lp, loc_idx = jax.lax.top_k(lp_noblank, p_local)  # (B, T, Pl)
+    loc_gids = loc_idx + offset
+    # gather candidates from every shard: (mp, B, T, Pl) → (B, T, mp·Pl)
+    all_lp = jnp.moveaxis(jax.lax.all_gather(loc_lp, axis), 0, 2).reshape(
+        b, t, mp * p_local
+    )
+    all_ids = jnp.moveaxis(jax.lax.all_gather(loc_gids, axis), 0, 2).reshape(
+        b, t, mp * p_local
+    )
+    prune = min(prune, mp * p_local)
+    tok_lp, sel = jax.lax.top_k(all_lp, prune)  # (B, T, P)
+    tok_ids = jnp.take_along_axis(all_ids, sel, axis=2)
+    # blank log-prob: owned by exactly one shard → masked psum is exact
+    lp_blank = jax.lax.psum(
+        jnp.sum(jnp.where(is_blank[None, None, :], lp_local, 0.0), axis=2), axis
+    )  # (B, T)
+
+    def single(lp_loc_1, tok_lp_1, tok_ids_1, lp_blank_1, n_frames):
+        init = BeamState(
+            prefixes=jnp.full((beam, max_label_len), -1, jnp.int32),
+            lengths=jnp.zeros((beam,), jnp.int32),
+            last=jnp.full((beam,), -1, jnp.int32),
+            p_b=jnp.where(jnp.arange(beam) == 0, 0.0, NEG_INF),
+            p_nb=jnp.full((beam,), NEG_INF),
+            phash=jnp.arange(beam, dtype=jnp.uint32) * jnp.uint32(2654435761),
+        )
+        active = jnp.arange(t) < n_frames
+
+        def step(state, inp):
+            lp_loc_t, tlp, tid, lpb, act = inp
+            # repeat-of-last lookup: one-hot over the local vocab slice,
+            # reduced across shards
+            onehot = (
+                state.last[:, None] == local_ids[None, :]
+            ).astype(lp_loc_t.dtype)  # (beam, Vl)
+            lp_last = jax.lax.psum(onehot @ lp_loc_t, axis)
+            lp_last = jnp.where(state.last >= 0, lp_last, NEG_INF)
+            return _beam_step_core(
+                state, tlp, tid, lpb, lp_last, act, beam=beam, prune=prune
+            )
+
+        final, _ = jax.lax.scan(
+            step, init, (lp_loc_1, tok_lp_1, tok_ids_1, lp_blank_1, active)
+        )
+        score = jnp.logaddexp(final.p_b, final.p_nb)
+        order = jnp.argsort(-score)
+        return final.prefixes[order], final.lengths[order], score[order]
+
+    return jax.vmap(single)(
+        lp_local,
+        tok_lp,
+        tok_ids,
+        lp_blank,
+        frame_lengths,
+    )

@@ -98,3 +98,50 @@ def test_beam_search_beats_or_matches_greedy(rng):
         # greedy path prob is a lower bound on its collapsed label's score
         greedy_path_lp = lp[0][np.arange(12), greedy_ids].sum()
         assert float(scores[0, 0]) >= greedy_path_lp - 1e-4
+
+
+def test_sharded_beam_matches_dense(rng):
+    """Vocab-sharded TP beam (shard_map + all_gather/psum candidate
+    exchange) returns the same hypotheses as the dense beam."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from nn_conformer_for_speech_recognition_tpu.ops.decode import (
+        ctc_beam_search,
+        ctc_beam_search_sharded,
+    )
+
+    B, T, V = 3, 12, 16  # V divisible by mp=4
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32)), -1
+    )
+    lens = jnp.asarray([12, 8, 5], jnp.int32)
+
+    toks_d, lens_d, scores_d = ctc_beam_search(
+        lp, lens, blank_id=0, beam=4, prune=4, max_label_len=12
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("model",))
+    f = shard_map(
+        lambda x, n: ctc_beam_search_sharded(
+            x, n, axis="model", blank_id=0, beam=4, prune=4, max_label_len=12
+        ),
+        mesh=mesh,
+        in_specs=(P(None, None, "model"), P(None)),
+        out_specs=(P(None), P(None), P(None)),
+        check_rep=False,
+    )
+    toks_s, lens_s, scores_s = jax.jit(f)(lp, lens)
+
+    np.testing.assert_allclose(
+        np.asarray(scores_s), np.asarray(scores_d), rtol=1e-5, atol=1e-5
+    )
+    # compare best-hypothesis token sequences
+    for b in range(B):
+        n = int(lens_d[b, 0])
+        assert int(lens_s[b, 0]) == n
+        np.testing.assert_array_equal(
+            np.asarray(toks_s[b, 0, :n]), np.asarray(toks_d[b, 0, :n])
+        )
