@@ -42,9 +42,9 @@ L = 100
 ITERS = 20
 
 
-def build(use_pallas: bool, remat: bool, ctc_impl: str):
+def build(use_pallas: bool, remat: bool, ctc_impl: str, dtype: str = "float32"):
     feat_cfg = C.FeatureConfig()
-    mcfg = C.conformer_m(use_pallas=use_pallas, remat=remat)
+    mcfg = C.conformer_m(use_pallas=use_pallas, remat=remat, compute_dtype=dtype)
     vocab = WordVocab(["<blank>", "<pad>", "<unk>"] + [f"w{i}" for i in range(V - 3)])
     model_vocab = len(vocab)
 
@@ -83,9 +83,9 @@ def build(use_pallas: bool, remat: bool, ctc_impl: str):
     return step, state, (audio, alen, targets, tlen)
 
 
-def bench(name, use_pallas, remat, ctc_impl):
+def bench(name, use_pallas, remat, ctc_impl, dtype="float32"):
     t0 = time.time()
-    step, state, args = build(use_pallas, remat, ctc_impl)
+    step, state, args = build(use_pallas, remat, ctc_impl, dtype)
     state, metrics = step(state, *args)
     jax.block_until_ready(metrics["loss"])
     compile_s = time.time() - t0
@@ -105,6 +105,8 @@ VARIANTS = {
     "xla": ("xla", False, False, "xla"),
     "pallas_remat": ("pallas+remat", True, True, "xla"),
     "pallas_remat_plctc": ("pallas+remat+plctc", True, True, "pallas"),
+    "xla_bf16": ("xla bf16", False, False, "xla", "bfloat16"),
+    "pallas_bf16": ("pallas+remat+plctc bf16", True, True, "pallas", "bfloat16"),
 }
 
 

@@ -175,7 +175,10 @@ class ModelConfig:
     encoder: ConformerConfig = ConformerConfig()
     decoder: DecoderConfig = DecoderConfig()
     n_mels: int = 40
-    # computation dtype: 'bfloat16' rides the MXU at full rate; params stay f32.
+    # computation dtype: 'bfloat16' rides the MXU at full rate; params stay
+    # f32. Measured on v5e (results/dtype_crossover_tpu.json): a wash for
+    # Conformer-S on 1 s clips, +42% for Conformer-M on 30 s audio, within
+    # run variance for Conformer-L — prefer bfloat16 for mid-size long-form.
     compute_dtype: str = "float32"
     use_pallas: bool = False  # route hot ops through Pallas kernels
     # rematerialise each Conformer block in backward (jax.checkpoint): trades
