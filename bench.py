@@ -26,6 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import nn_conformer_for_speech_recognition_tpu as pkg
+
+    pkg.ensure_backend()  # survive a stale JAX_PLATFORMS pin (docs/STATUS.md)
+
     from nn_conformer_for_speech_recognition_tpu import config as C
     from nn_conformer_for_speech_recognition_tpu.data.vocab import WordVocab
     from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC

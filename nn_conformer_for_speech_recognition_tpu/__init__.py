@@ -24,4 +24,31 @@ if not _os.environ.get("NN_CONFORMER_TPU_NO_CACHE"):
     except Exception:  # cache support missing → run without it
         pass
 
+# The image's sitecustomize pins jax_platforms to 'axon[,cpu]' (the TPU
+# tunnel), but the tunnel's PJRT plugin sometimes registers under the name
+# 'tpu' instead, making the pin fatal ("Unable to initialize backend
+# 'axon'").  Remap a still-effective axon pin to auto-select, which resolves
+# to the same chip under either plugin name.  Explicit choices made before
+# this import (tests forcing 'cpu') are left alone, and this touches config
+# only — no backend init happens here.
+try:
+    if (_jax.config.jax_platforms or "").split(",")[0] == "axon":
+        _jax.config.update("jax_platforms", "")
+except Exception:
+    pass
+
+
+def ensure_backend() -> None:
+    """Initialize a usable JAX backend, surviving a stale platform pin.
+
+    If the configured platform list fails to register (the tunnel plugin's
+    name varies between images/sessions), fall back to auto-selection and
+    retry.  Safe to call repeatedly; call before first device use in
+    benches/drivers."""
+    try:
+        _jax.devices()
+    except RuntimeError:
+        _jax.config.update("jax_platforms", "")
+        _jax.devices()
+
 from nn_conformer_for_speech_recognition_tpu import config  # noqa: F401,E402

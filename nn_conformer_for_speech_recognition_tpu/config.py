@@ -251,6 +251,11 @@ class MeshConfig:
     data_axis: str = "data"
     model_axis: str = "model"
     model_parallel_size: int = 1  # 1 = pure DP
+    # Wrap Pallas kernel calls in shard_map over the data axis
+    # (parallel/kernel_sharding.py). Required on real multi-chip slices —
+    # Mosaic custom calls are opaque to the GSPMD partitioner, which would
+    # otherwise all-gather operands and run every kernel replicated.
+    shard_map_kernels: bool = False
 
 
 # ---------------------------------------------------------------------------

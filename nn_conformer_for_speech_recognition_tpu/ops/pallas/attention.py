@@ -28,6 +28,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nn_conformer_for_speech_recognition_tpu.parallel.kernel_sharding import (
+    shard_over_batch,
+)
+
 MASK_VALUE = -1e30
 LANES = 128
 
@@ -216,6 +220,7 @@ def _fa_bwd(scale, res, g):
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
 
 
+@shard_over_batch(batched=(0, 1, 2, 6))  # q, k, v, mask; p/u/v replicated
 def rel_attention_pallas(
     q: jnp.ndarray,  # (B, T, H, dh)
     k: jnp.ndarray,

@@ -43,6 +43,10 @@ from nn_conformer_for_speech_recognition_tpu.ops.ctc import (
     extended_labels,
 )
 
+from nn_conformer_for_speech_recognition_tpu.parallel.kernel_sharding import (
+    shard_over_batch,
+)
+
 LANES = 128
 
 
@@ -254,25 +258,18 @@ def _ctc_ll_bwd(time_block, interpret, res, g):
 _ctc_ll.defvjp(_ctc_ll_fwd, _ctc_ll_bwd)
 
 
-def ctc_loss_pallas(
+@shard_over_batch(batched=(0, 1, 2, 3))
+def _ctc_ll_batched(
     log_probs: jnp.ndarray,
     labels: jnp.ndarray,
     input_lengths: jnp.ndarray,
     label_lengths: jnp.ndarray,
-    blank_id: int = 0,
-    zero_infinity: bool = True,
-    reduction: Optional[str] = "mean",
-    *,
-    time_block: int = 8,
-    interpret: Optional[bool] = None,
+    blank_id: int,
+    time_block: int,
+    interpret: Optional[bool],
 ) -> jnp.ndarray:
-    """Drop-in for `ops.ctc.ctc_loss` with the recursion fused in Pallas.
-
-    Same arguments/semantics as the XLA version (torch-CTCLoss parity incl.
-    ``zero_infinity``, `runner.py:35`); differentiable wrt ``log_probs``.
-    ``interpret=None`` auto-selects interpret mode off-TPU so the trainer's
-    ``ctc_impl='pallas'`` stays runnable on the CPU test mesh.
-    """
+    """Per-sample CTC log-likelihood (B,) — the batch-elementwise kernel
+    core, shard-mapped over the data axis on multi-chip meshes."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, v = log_probs.shape
@@ -315,7 +312,36 @@ def ctc_loss_pallas(
         ((0, b_pad - b), (0, 0)),
     )
 
-    ll = _ctc_ll(
+    return _ctc_ll(
         emit_tbs, canskip_f, valid_f, fin_f, len_map, time_block, interpret
     )[:b]
+
+
+def ctc_loss_pallas(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int = 0,
+    zero_infinity: bool = True,
+    reduction: Optional[str] = "mean",
+    *,
+    time_block: int = 8,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Drop-in for `ops.ctc.ctc_loss` with the recursion fused in Pallas.
+
+    Same arguments/semantics as the XLA version (torch-CTCLoss parity incl.
+    ``zero_infinity``, `runner.py:35`); differentiable wrt ``log_probs``.
+    ``interpret=None`` auto-selects interpret mode off-TPU so the trainer's
+    ``ctc_impl='pallas'`` stays runnable on the CPU test mesh.
+
+    The per-sample likelihood runs batch-sharded when a kernel mesh is
+    active (`parallel/kernel_sharding.py`); the reduction is global, outside
+    the shard_map.
+    """
+    ll = _ctc_ll_batched(
+        log_probs, labels, input_lengths, label_lengths, blank_id,
+        time_block, interpret,
+    )
     return apply_reduction(-ll, ll, label_lengths, zero_infinity, reduction)

@@ -22,6 +22,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nn_conformer_for_speech_recognition_tpu.parallel.kernel_sharding import (
+    shard_over_batch,
+)
+
 LANES = 128
 SUBLANES = 8
 
@@ -121,3 +125,5 @@ def _dw_bwd(res, g):
 
 
 depthwise_conv1d_pallas.defvjp(_dw_fwd, _dw_bwd)
+# batch-elementwise: shard over the data axis when a kernel mesh is active
+depthwise_conv1d_pallas = shard_over_batch(batched=(0,))(depthwise_conv1d_pallas)

@@ -39,6 +39,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nn_conformer_for_speech_recognition_tpu.parallel.kernel_sharding import (
+    shard_over_batch,
+)
+
 LANES = 128
 
 
@@ -295,6 +299,7 @@ def _lstm_seq_bwd(reverse, interpret, res, g):
 _lstm_seq.defvjp(_lstm_seq_fwd, _lstm_seq_bwd)
 
 
+@shard_over_batch(batched=(0, 2))  # xw, lengths; w_hh replicated
 def lstm_pallas(
     xw: jnp.ndarray,
     w_hh: jnp.ndarray,

@@ -40,6 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 from nn_conformer_for_speech_recognition_tpu.config import FeatureConfig
 from nn_conformer_for_speech_recognition_tpu.ops import features as F
 
+from nn_conformer_for_speech_recognition_tpu.parallel.kernel_sharding import (
+    shard_over_batch,
+)
+
 LANES = 128
 SUBLANES = 8
 
@@ -109,6 +113,7 @@ def pallas_geometry_supported(config: FeatureConfig) -> bool:
     return config.hop_length % LANES == 0 and config.n_fft % LANES == 0
 
 
+@shard_over_batch(batched=(0,))
 @functools.partial(jax.jit, static_argnames=("config", "tile_t", "batch_tile", "interpret"))
 def stft_logmel_pallas(
     audio: jnp.ndarray,

@@ -1,0 +1,127 @@
+"""Explicit batch-sharding of Pallas kernels over the data axis.
+
+Why this exists (docs/STATUS.md "known gaps"): on the CPU test mesh the
+interpret lowering of our kernels partitions cleanly under GSPMD, but on a
+real multi-chip TPU slice a Mosaic custom call is opaque to the SPMD
+partitioner — without annotation XLA conservatively all-gathers the operands
+and runs the kernel fully replicated on every chip.  Every Pallas kernel in
+this framework is *batch-elementwise* (no cross-example reduction inside the
+kernel), so the correct multi-chip execution is trivially: each chip runs the
+kernel on its local batch shard, zero collectives.  ``shard_map`` over the
+``'data'`` mesh axis states exactly that.
+
+The reference has no analogue — it is single-device (`lib/hparams.py:27`,
+SURVEY.md §2.3); this is part of the parallel runtime layer the TPU build
+adds.
+
+Usage: kernels' public entry points are decorated with
+:func:`shard_over_batch`, which is a no-op until a kernel mesh is activated —
+either via :func:`set_kernel_mesh` (the ``Trainer`` does this when
+``MeshConfig.shard_map_kernels`` is set) or the :func:`kernel_mesh` context
+manager.  Activation happens at *trace* time, so it must be in effect when a
+jitted step first runs, not when it is built.
+
+Only the data axis is mapped: batched operands get ``P('data')`` on their
+leading dim, everything else (weights, position tables) is taken as
+replicated.  This composes with pure DP and with TP configs whose sharded
+params never feed a Pallas kernel directly; it is intentionally NOT applied
+to vocab-sharded decode (`ops/decode.ctc_beam_search_sharded` manages its own
+shard_map over the model axis).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+_ACTIVE: Optional[Tuple[Mesh, str]] = None
+
+
+def set_kernel_mesh(mesh: Optional[Mesh], axis: str = "data") -> None:
+    """Activate (or, with ``mesh=None``, deactivate) kernel batch-sharding."""
+    global _ACTIVE
+    if mesh is None:
+        _ACTIVE = None
+        return
+    if axis not in mesh.shape:
+        raise ValueError(f"mesh has no axis {axis!r} (axes: {tuple(mesh.shape)})")
+    _ACTIVE = (mesh, axis)
+
+
+def active_kernel_mesh() -> Optional[Tuple[Mesh, str]]:
+    return _ACTIVE
+
+
+@contextlib.contextmanager
+def kernel_mesh(mesh: Optional[Mesh], axis: str = "data"):
+    """Scoped activation, for tests and ad-hoc inference jobs."""
+    global _ACTIVE
+    prev = _ACTIVE
+    set_kernel_mesh(mesh, axis)
+    try:
+        yield
+    finally:
+        _ACTIVE = prev
+
+
+def _is_array(x) -> bool:
+    return isinstance(x, (jax.Array, np.ndarray, jax.core.Tracer))
+
+
+def shard_over_batch(*, batched: Sequence[int]):
+    """Decorator: run ``fn`` under ``shard_map`` over the active kernel mesh.
+
+    ``batched`` lists the positional argument indices whose leading axis is
+    the batch; they are sharded ``P(axis)``.  Remaining *array* positional
+    args are passed replicated (``P()``); non-array args (python scalars,
+    configs, flags) and all kwargs are closed over.  Outputs are taken as
+    batched on their leading axis (prefix-spec ``P(axis)``).
+
+    Falls back to calling ``fn`` unwrapped when no mesh is active, the axis
+    has size 1, or the batch does not divide the axis size (e.g. a remainder
+    batch during eval).
+    """
+    batched_set = frozenset(batched)
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            active = _ACTIVE
+            if active is None:
+                return fn(*args, **kwargs)
+            mesh, axis = active
+            n = mesh.shape[axis]
+            if n <= 1:
+                return fn(*args, **kwargs)
+            lead = args[min(batched_set)].shape[0]
+            if lead % n != 0:
+                return fn(*args, **kwargs)
+
+            arr_idx = [i for i, a in enumerate(args) if _is_array(a)]
+            in_specs = tuple(
+                P(axis) if i in batched_set else P() for i in arr_idx
+            )
+            sub = tuple(args[i] for i in arr_idx)
+
+            def inner(*sub_args):
+                full = list(args)
+                for i, a in zip(arr_idx, sub_args):
+                    full[i] = a
+                return fn(*full, **kwargs)
+
+            return jax.shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=P(axis),
+                check_vma=False,
+            )(*sub)
+
+        return wrapper
+
+    return deco

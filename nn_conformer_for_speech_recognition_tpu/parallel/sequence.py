@@ -19,7 +19,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 NEG_INF = -1e30
 
@@ -57,7 +56,7 @@ def ulysses_attention(
     assert h % n == 0, f"heads {h} not divisible by seq-parallel size {n}"
 
     @partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(
             P(None, axis, None, None),  # qu time-sharded
@@ -67,7 +66,7 @@ def ulysses_attention(
             P(None),
         ),
         out_specs=P(None, axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     def inner(qu_l, k_l, v_l, bias_l, lengths_l):
         # (B, T/n, H, dh) → (B, T, H/n, dh): split heads, gather time

@@ -300,6 +300,14 @@ class Trainer:
 
         self.mesh = mesh if mesh is not None else pmesh.make_mesh(mesh_cfg)
         self._batch_sharding = pmesh.batch_sharding(self.mesh, mesh_cfg)
+        if mesh_cfg.shard_map_kernels:
+            # activate at construction so it is in effect when the jitted
+            # steps trace (kernel_sharding wraps at trace time)
+            from nn_conformer_for_speech_recognition_tpu.parallel.kernel_sharding import (
+                set_kernel_mesh,
+            )
+
+            set_kernel_mesh(self.mesh, mesh_cfg.data_axis)
 
         blank = vocab.blank_id
         pad = vocab.pad_id

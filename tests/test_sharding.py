@@ -127,3 +127,158 @@ def test_ulysses_attention_matches_local(rng):
         lambda *a: ulysses_attention(*a, scale=0.25, mesh=mesh, axis="data")
     )(qu, k, v, bias, lengths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels under explicit shard_map over 'data'
+# (parallel/kernel_sharding.py — the multi-chip path where Mosaic custom
+# calls are opaque to GSPMD). Parity: kernel_mesh active vs inactive.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mesh():
+    from nn_conformer_for_speech_recognition_tpu.parallel.kernel_sharding import (
+        kernel_mesh,
+    )
+
+    return kernel_mesh(pmesh.make_mesh(C.MeshConfig()), "data")
+
+
+def test_kernel_shard_map_ctc_parity(rng):
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.ctc import (
+        ctc_loss_pallas,
+    )
+
+    b, t, v, l = 8, 24, 12, 6
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((b, t, v)).astype(np.float32)), -1
+    )
+    labels = jnp.asarray(rng.integers(1, v, size=(b, l)).astype(np.int32))
+    ilen = jnp.asarray(rng.integers(l * 2 + 1, t + 1, size=(b,)).astype(np.int32))
+    tlen = jnp.asarray(rng.integers(1, l + 1, size=(b,)).astype(np.int32))
+
+    def loss(x):
+        return ctc_loss_pallas(x, labels, ilen, tlen, blank_id=0)
+
+    ref, gref = jax.value_and_grad(loss)(lp)
+    with _kernel_mesh():
+        got, ggot = jax.jit(jax.value_and_grad(loss))(lp)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref), atol=1e-5)
+
+
+def test_kernel_shard_map_lstm_parity(rng):
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.lstm import lstm_pallas
+
+    b, t, h = 8, 10, 6
+    xw = jnp.asarray(rng.standard_normal((b, t, 4 * h)).astype(np.float32))
+    whh = jnp.asarray(rng.standard_normal((h, 4 * h)).astype(np.float32) * 0.2)
+    lens = jnp.asarray(rng.integers(3, t + 1, size=(b,)).astype(np.int32))
+
+    def f(xw, whh):
+        return jnp.sum(lstm_pallas(xw, whh, lens) ** 2)
+
+    ref, (gx_ref, gw_ref) = jax.value_and_grad(f, argnums=(0, 1))(xw, whh)
+    with _kernel_mesh():
+        got, (gx, gw) = jax.jit(jax.value_and_grad(f, argnums=(0, 1)))(xw, whh)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=1e-4)
+
+
+def test_kernel_shard_map_attention_parity(rng):
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.attention import (
+        rel_attention_pallas,
+    )
+
+    b, t, h, dh = 8, 12, 2, 8
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.5)
+    q, k, v = mk(b, t, h, dh), mk(b, t, h, dh), mk(b, t, h, dh)
+    p = mk(2 * t - 1, h, dh)
+    u_b, v_b = mk(h, dh), mk(h, dh)
+    lens = np.full((b,), t); lens[1] = 7
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+    scale = 1.0 / np.sqrt(dh)
+
+    def f(q, k, v, p):
+        return jnp.sum(rel_attention_pallas(q, k, v, p, u_b, v_b, mask, scale))
+
+    ref, gref = jax.value_and_grad(f, argnums=(0, 3))(q, k, v, p)
+    with _kernel_mesh():
+        got, ggot = jax.jit(jax.value_and_grad(f, argnums=(0, 3)))(q, k, v, p)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+    for a, b_ in zip(ggot, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_kernel_shard_map_depthwise_and_stft(rng):
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.depthwise_conv import (
+        depthwise_conv1d_pallas,
+    )
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.stft_logmel import (
+        stft_logmel_pallas,
+    )
+
+    x = jnp.asarray(rng.standard_normal((8, 16, 6)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((5, 6)).astype(np.float32))
+    ref = depthwise_conv1d_pallas(x, w)
+    with _kernel_mesh():
+        got = jax.jit(depthwise_conv1d_pallas)(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    fc = C.FeatureConfig()
+    audio = jnp.asarray(rng.standard_normal((8, 4096)).astype(np.float32))
+    ref = stft_logmel_pallas(audio, fc, interpret=True)
+    with _kernel_mesh():
+        got = stft_logmel_pallas(audio, fc, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_kernel_shard_map_falls_back_on_indivisible_batch(rng):
+    """B=6 does not divide the 8-way data axis → unwrapped path, same result."""
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.lstm import lstm_pallas
+
+    b, t, h = 6, 5, 4
+    xw = jnp.asarray(rng.standard_normal((b, t, 4 * h)).astype(np.float32))
+    whh = jnp.asarray(rng.standard_normal((h, 4 * h)).astype(np.float32) * 0.2)
+    lens = jnp.full((b,), t, jnp.int32)
+    ref = lstm_pallas(xw, whh, lens)
+    with _kernel_mesh():
+        got = lstm_pallas(xw, whh, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_trainer_shard_map_kernels_step(rng):
+    """One train step with MeshConfig.shard_map_kernels + ctc_impl=pallas on
+    the 8-device mesh: finite loss, runs end-to-end under shard_map."""
+    from nn_conformer_for_speech_recognition_tpu.data.vocab import WordVocab
+    from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+    from nn_conformer_for_speech_recognition_tpu.parallel.kernel_sharding import (
+        set_kernel_mesh,
+    )
+    from nn_conformer_for_speech_recognition_tpu.train.loop import Trainer
+
+    enc = C.ConformerConfig(num_blocks=1, d_model=16, num_heads=2, ffn_dim=32,
+                            conv_kernel_size=5, dropout=0.0)
+    dec = C.DecoderConfig(projection_dim=8, lstm_hidden=8, dropout=0.0)
+    mcfg = C.ModelConfig(encoder=enc, decoder=dec, n_mels=40, use_pallas=True)
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>", "a", "b", "c"])
+    feat_cfg = C.FeatureConfig()
+    mesh_cfg = C.MeshConfig(shard_map_kernels=True)
+    train_cfg = C.TrainConfig(batch_size=8, use_specaugment=False,
+                              ctc_impl="pallas")
+    model = ConformerCTC(mcfg, vocab_size=len(vocab))
+    trainer = Trainer(model, vocab, feat_cfg, train_cfg, mesh_cfg)
+    try:
+        trainer.init_state(seed=0)
+        audio = rng.standard_normal((8, 4096)).astype(np.float32) * 0.1
+        alen = np.full((8,), 4096, np.int32)
+        tgts = np.full((8, 2), vocab.pad_id, np.int32)
+        tgts[:, 0] = 3
+        tlen = np.ones((8,), np.int32)
+        args = pmesh.shard_batch_arrays(trainer.mesh, mesh_cfg,
+                                        audio, alen, tgts, tlen)
+        state, metrics = trainer._train_step(trainer.state, *args)
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        set_kernel_mesh(None)
