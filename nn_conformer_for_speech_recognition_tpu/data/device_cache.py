@@ -29,8 +29,14 @@ from nn_conformer_for_speech_recognition_tpu.data.datasets import (
 )
 
 
-@partial(jax.jit, donate_argnums=())
-def _gather(audio, alen, targets, tlen, idx):
+def gather_rows(audio, alen, targets, tlen, idx):
+    """Gather one batch (rows ``idx``) from device-resident arrays.
+
+    ``idx`` entries of -1 are batch padding: their audio/targets/lengths are
+    zeroed so downstream masking (``target_lengths == 0`` row weights in the
+    train step) ignores them.  Used both per-dispatch (`epoch`) and inside
+    the fused epoch scan (`train.loop.make_epoch_scan_step`).
+    """
     take = lambda x: jnp.take(x, jnp.maximum(idx, 0), axis=0)
     valid = (idx >= 0)
     a = take(audio)
@@ -40,6 +46,9 @@ def _gather(audio, alen, targets, tlen, idx):
         jnp.where(valid[:, None], take(targets), 0),
         take(tlen) * valid,
     )
+
+
+_gather = jax.jit(gather_rows)
 
 
 class DeviceResidentDataset:
@@ -81,6 +90,24 @@ class DeviceResidentDataset:
 
     def __len__(self) -> int:
         return len(self.utterances)
+
+    def device_arrays(self):
+        """(audio, alen, targets, tlen) device-resident arrays, for the fused
+        epoch scan (`train.loop.Trainer.train_device_epochs`)."""
+        return self._audio_dev, self._alen_dev, self._targets_dev, self._tlen_dev
+
+    def order_matrix(self, seed: Optional[int] = None, shuffle: bool = True) -> np.ndarray:
+        """(num_batches, batch_size) int32 index matrix for one epoch;
+        -1 marks batch-padding rows.  Same shuffle as `epoch`."""
+        n = len(self.utterances)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        steps = self.num_batches()
+        mat = np.full((steps, self.batch_size), -1, np.int32)
+        flat = mat.reshape(-1)
+        flat[:n] = order
+        return mat
 
     def num_batches(self) -> int:
         return -(-len(self.utterances) // self.batch_size)

@@ -176,6 +176,60 @@ def make_train_step(
     return train_step
 
 
+def make_epoch_scan_step(
+    model: ConformerCTC,
+    feat_cfg: FeatureConfig,
+    sa_cfg: SpecAugmentConfig,
+    blank_id: int,
+    use_specaugment: bool = True,
+    noise_std: float = 0.0,
+    ctc_impl: str = "auto",
+    batch_sharding=None,
+):
+    """Whole-epoch training as ONE dispatch: ``lax.scan`` over steps.
+
+    The per-step host dispatch is the throughput bound for small models on a
+    tunneled/remote TPU (docs/STATUS.md: ~3.5 ms/step nearly independent of
+    batch size).  With the corpus device-resident
+    (`data/device_cache.DeviceResidentDataset`), an epoch needs no host I/O
+    at all, so the entire shuffled epoch runs as one XLA program:
+
+        (state, audio_all, alen_all, targets_all, tlen_all, order)
+            → (state, per-step losses (steps,))
+
+    ``order`` is the (steps, batch) index matrix (-1 = batch padding row)
+    from `DeviceResidentDataset.order_matrix`; each scan iteration gathers
+    its batch on-device and runs the exact fused train step
+    (`make_train_step` — bit-identical RNG discipline to the per-dispatch
+    path, since the state threads through the scan carry).
+
+    ``batch_sharding`` (a NamedSharding over the data axis): constrains each
+    gathered batch so the step compute stays DP-sharded even when the
+    resident dataset is replicated.
+    """
+    from nn_conformer_for_speech_recognition_tpu.data.device_cache import gather_rows
+
+    step = make_train_step(
+        model, feat_cfg, sa_cfg, blank_id,
+        use_specaugment=use_specaugment, noise_std=noise_std, ctc_impl=ctc_impl,
+    )
+
+    def epoch(state: TrainState, audio, alen, targets, tlen, order):
+        def body(state, idx):
+            batch = gather_rows(audio, alen, targets, tlen, idx)
+            if batch_sharding is not None:
+                batch = tuple(
+                    jax.lax.with_sharding_constraint(x, batch_sharding)
+                    for x in batch
+                )
+            state, metrics = step(state, *batch)
+            return state, metrics["loss"]
+
+        return jax.lax.scan(body, state, order)
+
+    return epoch
+
+
 def optax_global_norm(tree):
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
@@ -446,6 +500,53 @@ class Trainer:
             if checkpoint_manager is not None:
                 metric = self.history["val_loss"][-1] if val_dataset is not None else None
                 checkpoint_manager.save(self.state, metric=metric)
+        return self.history
+
+    def _epoch_scan_fn(self):
+        if getattr(self, "_epoch_scan", None) is None:
+            noise = self.train_cfg.noise_std if self.train_cfg.add_noise else 0.0
+            self._epoch_scan = jax.jit(
+                make_epoch_scan_step(
+                    self.model, self.feat_cfg, self.train_cfg.specaugment,
+                    self.vocab.blank_id,
+                    use_specaugment=self.train_cfg.use_specaugment,
+                    noise_std=noise, ctc_impl=self.train_cfg.ctc_impl,
+                    batch_sharding=self._batch_sharding,
+                ),
+                donate_argnums=(0,) if self.train_cfg.donate_state else (),
+            )
+        return self._epoch_scan
+
+    def train_device_epochs(self, dataset, epochs: int, epoch_offset: int = 0):
+        """Epoch loop over a `DeviceResidentDataset` — ONE dispatch per epoch
+        (`make_epoch_scan_step`).  The host only uploads the (steps, batch)
+        shuffle-order matrix and pulls the per-step losses back at the end of
+        each epoch; everything else stays on device.  For HBM-resident
+        corpora this removes the per-step dispatch latency that bounds the
+        per-batch `train` path on tunneled TPUs."""
+        assert self.state is not None, "call init_state() first"
+        epoch_fn = self._epoch_scan_fn()
+        arrays = dataset.device_arrays()
+        audio_seconds = float(np.asarray(arrays[1]).sum()) / self.feat_cfg.sample_rate
+        for epoch in range(epochs):
+            t0 = time.time()
+            order = dataset.order_matrix(
+                seed=self.train_cfg.seed + epoch_offset + epoch
+            )
+            self.state, losses = epoch_fn(self.state, *arrays, jnp.asarray(order))
+            losses = np.asarray(losses)
+            dt = time.time() - t0
+            valid = losses[~np.isnan(losses)]
+            mean_loss = float(valid.mean()) if valid.size else float("nan")
+            self.history["train_loss"].append(mean_loss)
+            msg = (
+                f"epoch {epoch_offset + epoch}: loss={mean_loss:.4f} "
+                f"({audio_seconds / max(dt, 1e-9):.1f} audio-s/s, fused epoch)"
+            )
+            nan_steps = int(np.isnan(losses).sum())
+            if nan_steps:
+                msg += f" [{nan_steps} NaN steps]"
+            self.log(msg)
         return self.history
 
     # ------------------------------------------------------------------ eval

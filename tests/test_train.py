@@ -151,3 +151,32 @@ def test_ctc_impl_pallas_matches_xla(setup):
         trainer.train(dss["train"], epochs=2)
         losses[impl] = trainer.history["train_loss"]
     np.testing.assert_allclose(losses["pallas"], losses["xla"], rtol=2e-4)
+
+
+def test_fused_epoch_scan_matches_per_step_loop(setup):
+    """`Trainer.train_device_epochs` (whole epoch as one lax.scan dispatch)
+    reproduces the per-dispatch `train` loop over the same device-resident
+    dataset: identical shuffle order → identical losses and final params."""
+    from nn_conformer_for_speech_recognition_tpu.data.device_cache import (
+        DeviceResidentDataset)
+
+    feat_cfg, vocab, dss = setup
+    dev = DeviceResidentDataset(dss["train"])
+
+    per_step = _make_trainer(feat_cfg, vocab, sa=True)
+    per_step.init_state(seed=0)
+    per_step.train(dev, epochs=2)
+
+    fused = _make_trainer(feat_cfg, vocab, sa=True)
+    fused.init_state(seed=0)
+    fused.train_device_epochs(dev, epochs=2)
+
+    np.testing.assert_allclose(
+        fused.history["train_loss"], per_step.history["train_loss"], rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, per_step.state.params)),
+        jax.tree.leaves(jax.tree.map(np.asarray, fused.state.params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    assert int(fused.state.step) == int(per_step.state.step)
