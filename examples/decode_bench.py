@@ -111,7 +111,7 @@ def main():
         print(f"{name:20s} greedy {dt_g*1e3:8.2f} ms ({row['greedy_audio_s_per_s']:.0f} a-s/s)  "
               f"beam {dt_b*1e3:8.2f} ms ({row['beam_audio_s_per_s']:.0f} a-s/s)", flush=True)
     out = pathlib.Path(__file__).resolve().parent.parent / "results" / "decode_tpu.json"
-    out.write_text(json.dumps(results, indent=1))
+    out.write_text(json.dumps(results, indent=1) + '\n')
     print("wrote", out)
 
 

@@ -102,7 +102,7 @@ def main():
         results[name] = row
         print(name, row, flush=True)
     out = pathlib.Path(__file__).resolve().parent.parent / "results" / "dtype_crossover_tpu.json"
-    out.write_text(json.dumps(results, indent=1))
+    out.write_text(json.dumps(results, indent=1) + '\n')
     print("wrote", out)
 
 

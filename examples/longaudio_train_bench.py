@@ -131,7 +131,7 @@ def main():
         results[key] = json.loads(line[-1])
     outp = pathlib.Path(__file__).resolve().parent.parent / "results" / "longaudio_train_tpu.json"
     outp.write_text(json.dumps({"B": B, "seconds": SECONDS, "V": V, "L": L,
-                                "model": "conformer_m", "variants": results}, indent=1))
+                                "model": "conformer_m", "variants": results}, indent=1) + '\n')
     print("wrote", outp)
 
 

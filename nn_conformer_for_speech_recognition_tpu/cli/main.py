@@ -31,6 +31,8 @@ def _common_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-target-len", type=int, default=32)
     p.add_argument("--bucket-boundaries", type=int, nargs="*", default=None,
                    help="bucket boundaries in samples; default = one bucket at max")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="drop utterances longer than this many feature frames")
 
 
 def _common_model_args(p: argparse.ArgumentParser) -> None:
@@ -72,10 +74,26 @@ def _build(args):
             args.ntokens,
         )
 
+    train_cfg = C.TrainConfig(
+        batch_size=args.batch_size,
+        optimizer=C.OptimizerConfig(learning_rate=getattr(args, "lr", 2e-5)),
+        use_specaugment=not getattr(args, "no_specaugment", False),
+        ctc_impl=getattr(args, "ctc_impl", "auto"),
+        bucket_boundaries=tuple(args.bucket_boundaries or ()),
+        max_frames=args.max_frames,
+        checkpoint_dir=getattr(args, "checkpoint_dir", None),
+        train_wer=getattr(args, "train_wer", False),
+    )
+    # max_frames (feature frames) → waveform samples for the dataset filter
+    max_samples = (
+        train_cfg.max_frames * feat_cfg.hop_length
+        if train_cfg.max_frames is not None else None
+    )
     datasets = {
         split: BucketedDataset(
             utts, vocab, args.batch_size, sample_rate=args.sample_rate,
-            bucket_boundaries=args.bucket_boundaries or (),
+            bucket_boundaries=train_cfg.bucket_boundaries,
+            max_samples=max_samples,
             max_target_len=args.max_target_len,
         )
         for split, utts in manifests.items()
@@ -84,12 +102,6 @@ def _build(args):
     mcfg = C.MODEL_PRESETS[args.model](
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
         n_mels=args.n_mels,
-    )
-    train_cfg = C.TrainConfig(
-        batch_size=args.batch_size,
-        optimizer=C.OptimizerConfig(learning_rate=getattr(args, "lr", 2e-5)),
-        use_specaugment=not getattr(args, "no_specaugment", False),
-        ctc_impl=getattr(args, "ctc_impl", "auto"),
     )
     mesh_cfg = C.MeshConfig(model_parallel_size=args.model_parallel)
     model = ConformerCTC(mcfg, vocab_size=len(vocab))
@@ -223,6 +235,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-specaugment", action="store_true")
     sp.add_argument("--save", default=None)
     sp.add_argument("--plots", default=None)
+    sp.add_argument("--checkpoint-dir", default=None,
+                    help="write rotating per-epoch checkpoints here")
+    sp.add_argument("--train-wer", action="store_true",
+                    help="log per-epoch train WER (reference runner.py:149-160)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval", help="evaluate a split")

@@ -303,6 +303,10 @@ class TrainConfig:
     # `ops/pallas/ctc.py`). In-context on v5e the scan costs ~54 ms/step at
     # long-form shapes where the fused kernel costs ~1 ms (docs/STATUS.md).
     ctc_impl: str = "auto"
+    # log per-epoch WER of the training forward's greedy decodes (the
+    # reference logs this per batch, `runner.py:149-160`); costs an in-graph
+    # argmax+collapse per step plus an ids pull at epoch end.
+    train_wer: bool = False
 
 
 @_frozen

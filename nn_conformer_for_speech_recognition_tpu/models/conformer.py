@@ -224,11 +224,17 @@ class ConvModule(nn.Module):
             )
             h = depthwise_conv1d_pallas(h, dw_kernel.astype(self.dtype))
         else:
+            # no bias when BatchNorm follows: BN subtracts the per-channel
+            # mean, so the bias is mathematically inert — its gradient is
+            # exactly 0, and under Adam a numerically-noisy "0" gradient
+            # random-walks the parameter at ±lr per step (also matches the
+            # biasless Pallas depthwise kernel).
             h = nn.Conv(
                 features=self.expansion * self.d_model,
                 kernel_size=(self.kernel_size,),
                 padding="SAME",
                 feature_group_count=self.expansion * self.d_model,
+                use_bias=(self.norm != "batchnorm"),
                 dtype=self.dtype,
                 name="depthwise",
             )(h)

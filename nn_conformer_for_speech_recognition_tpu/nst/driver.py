@@ -62,6 +62,8 @@ def run_nst(
             cfg.train_epochs_per_generation,
             val_dataset=val_dataset,
             use_specaugment=True,
+            add_noise=cfg.add_noise,
+            noise_std=cfg.noise_std,
         )
 
     for gen in range(cfg.generations):
@@ -82,12 +84,16 @@ def run_nst(
             bucket_boundaries=supervised.bucket_boundaries,
             max_target_len=supervised.max_target_len,
         )
+        # student retrain: SpecAugment + (optional) waveform gaussian noise —
+        # the "noisy" in noisy-student (`speechcommands.py:227-252`)
         trainer.train(
             mixed,
             cfg.train_epochs_per_generation,
             val_dataset=val_dataset,
             use_specaugment=True,
             epoch_offset=100 * (gen + 1),
+            add_noise=cfg.add_noise,
+            noise_std=cfg.noise_std,
         )
 
         res = GenerationResult(gen, len(labels), len(pseudo))

@@ -66,22 +66,29 @@ def gather_pseudo_labels(labels: Dict[int, str]) -> Dict[int, str]:
         return labels
     from jax.experimental import multihost_utils
 
-    max_len = 256
     items = sorted(labels.items())
     n = len(items)
-    # pad host counts to the global max so allgather shapes agree
-    n_max = int(multihost_utils.process_allgather(np.asarray([n])).max())
+    encoded = [text.encode("utf-8") for _, text in items]
+    local_max = max((len(b) for b in encoded), default=0)
+    # pad host counts AND text widths to the global max so allgather shapes
+    # agree — no silent truncation of long-form transcripts (the round-1
+    # 256-byte cap corrupted LibriSpeech-length pseudo-labels)
+    dims = multihost_utils.process_allgather(np.asarray([n, local_max]))
+    n_max = int(dims[:, 0].max())
+    max_len = max(int(dims[:, 1].max()), 1)
     idx = np.full((n_max,), -1, np.int64)
+    blen = np.zeros((n_max,), np.int32)
     txt = np.zeros((n_max, max_len), np.uint8)
-    for row, (i, text) in enumerate(items):
-        b = text.encode("utf-8")[:max_len]
+    for row, ((i, _), b) in enumerate(zip(items, encoded)):
         idx[row] = i
+        blen[row] = len(b)
         txt[row, : len(b)] = np.frombuffer(b, np.uint8)
     idx_g = multihost_utils.process_allgather(idx).reshape(-1)
+    blen_g = multihost_utils.process_allgather(blen).reshape(-1)
     txt_g = multihost_utils.process_allgather(txt).reshape(-1, max_len)
     out: Dict[int, str] = {}
-    for i, row in zip(idx_g, txt_g):
+    for i, nb, row in zip(idx_g, blen_g, txt_g):
         if i < 0:
             continue
-        out[int(i)] = bytes(row[row > 0]).decode("utf-8", errors="ignore")
+        out[int(i)] = bytes(row[: int(nb)]).decode("utf-8", errors="ignore")
     return out

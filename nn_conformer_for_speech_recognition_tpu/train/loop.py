@@ -112,9 +112,16 @@ def make_feature_train_step(
     model: ConformerCTC,
     blank_id: int,
     ctc_impl: str = "auto",
+    emit_ids: bool = False,
+    pad_id: int = 0,
 ):
     """(state, feats, frame_lengths, targets, tlen) → (state, metrics):
-    the model/loss/optimizer core, taking precomputed (augmented) features."""
+    the model/loss/optimizer core, taking precomputed (augmented) features.
+
+    ``emit_ids=True`` additionally returns greedy-decoded ids from the
+    training forward (``metrics["ids"]``/``["out_lengths"]``) so the host can
+    log per-epoch train WER like the reference does per batch
+    (`runner.py:149-160`) — no second forward pass."""
     ctc = _select_ctc(ctc_impl)
 
     def train_step(state: TrainState, feats, frame_lengths, targets, target_lengths):
@@ -137,12 +144,19 @@ def make_feature_train_step(
             w = (target_lengths > 0).astype(per_seq.dtype)
             denom = jnp.maximum(target_lengths, 1).astype(per_seq.dtype)
             loss = jnp.sum(per_seq / denom * w) / jnp.maximum(jnp.sum(w), 1.0)
-            return loss, updates["batch_stats"]
+            aux = (updates["batch_stats"], (log_probs, out_lengths))
+            return loss, aux
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (new_bs, (log_probs, out_lengths))), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         new_state = state.apply_gradients(grads, new_bs, rng)
         gnorm = optax_global_norm(grads)
-        return new_state, {"loss": loss, "grad_norm": gnorm}
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        if emit_ids:
+            metrics["ids"] = greedy_decode(log_probs, out_lengths, pad_id=pad_id)
+            metrics["out_lengths"] = out_lengths
+        return new_state, metrics
 
     return train_step
 
@@ -223,7 +237,9 @@ def make_epoch_scan_step(
                     for x in batch
                 )
             state, metrics = step(state, *batch)
-            return state, metrics["loss"]
+            # valid-row count so the host can weight the epoch-mean loss the
+            # same way the per-batch path does (M.Mean.update(loss, size))
+            return state, (metrics["loss"], jnp.sum(idx >= 0))
 
         return jax.lax.scan(body, state, order)
 
@@ -316,6 +332,50 @@ def make_beam_step(
     return beam_step
 
 
+def make_eval_beam_step(
+    model: ConformerCTC,
+    feat_cfg: FeatureConfig,
+    blank_id: int,
+    beam: int = 8,
+    prune: int = 16,
+    max_label_len: int = 64,
+    lm_apply=None,
+    lm_weight: float = 0.3,
+    ctc_impl: str = "auto",
+):
+    """Eval with beam decode in ONE forward pass: loss + 1-best beam tokens.
+    (The round-1 `Trainer.evaluate(decode='beam')` ran the encoder twice —
+    eval_step then beam_step.)"""
+    ctc = _select_ctc(ctc_impl)
+
+    def step(state: TrainState, audio, audio_lengths, targets, target_lengths):
+        feats, frame_lengths = _featurize(audio, audio_lengths, feat_cfg)
+        log_probs, out_lengths = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats,
+            frame_lengths,
+            deterministic=True,
+        )
+        if lm_apply is not None:
+            from nn_conformer_for_speech_recognition_tpu.models.lm import shallow_fusion
+
+            log_probs = shallow_fusion(log_probs, lm_apply, lm_weight)
+        per_seq = ctc(
+            log_probs, targets, out_lengths, target_lengths,
+            blank_id=blank_id, reduction=None,
+        )
+        w = (target_lengths > 0).astype(per_seq.dtype)
+        denom = jnp.maximum(target_lengths, 1).astype(per_seq.dtype)
+        loss = jnp.sum(per_seq / denom * w) / jnp.maximum(jnp.sum(w), 1.0)
+        toks, lens, _scores = ctc_beam_search(
+            log_probs, out_lengths, blank_id=blank_id, beam=beam, prune=prune,
+            max_label_len=max_label_len,
+        )
+        return loss, toks[:, 0], lens[:, 0]
+
+    return step
+
+
 class Trainer:
     """Host-side orchestration: epochs, metrics, checkpoints, NST labeling.
 
@@ -365,33 +425,24 @@ class Trainer:
 
         blank = vocab.blank_id
         pad = vocab.pad_id
-        noise = train_cfg.noise_std if train_cfg.add_noise else 0.0
         # two dispatches per step: augmentation and the model/loss/optimizer
         # core are compiled separately so the core's (fast) schedule is
         # deterministic — see make_augment_step's docstring.
         donate = (0,) if train_cfg.donate_state else ()
-        self._augment_step = jax.jit(
-            make_augment_step(feat_cfg, train_cfg.specaugment,
-                              use_specaugment=train_cfg.use_specaugment,
-                              noise_std=noise)
-        )
-        self._augment_step_noaug = jax.jit(
-            make_augment_step(feat_cfg, train_cfg.specaugment,
-                              use_specaugment=False)
-        )
         self._train_core = jax.jit(
-            make_feature_train_step(model, blank, ctc_impl=train_cfg.ctc_impl),
+            make_feature_train_step(
+                model, blank, ctc_impl=train_cfg.ctc_impl,
+                emit_ids=train_cfg.train_wer, pad_id=pad,
+            ),
             donate_argnums=donate,
         )
-
-        def _composed(aug):
-            def step(state, audio, audio_lengths, targets, target_lengths):
-                feats, fl = aug(state.rng, audio, audio_lengths)
-                return self._train_core(state, feats, fl, targets, target_lengths)
-            return step
-
-        self._train_step = _composed(self._augment_step)
-        self._train_step_noaug = _composed(self._augment_step_noaug)
+        # composed (augment ∘ core) step fns, keyed by (use_specaugment,
+        # noise_std) so callers (NST's noisy-student retrain) can override
+        # augmentation per train() call without retracing the core.
+        self._step_cache: Dict[Tuple[bool, float], Callable] = {}
+        default_noise = train_cfg.noise_std if train_cfg.add_noise else 0.0
+        self._train_step = self._composed_step(train_cfg.use_specaugment, default_noise)
+        self._train_step_noaug = self._composed_step(False, 0.0)
         self._eval_step = jax.jit(
             make_eval_step(model, feat_cfg, blank, pad,
                            lm_apply=lm_apply, lm_weight=lm_weight,
@@ -399,6 +450,11 @@ class Trainer:
         )
         self._predict_step = jax.jit(make_predict_step(model, feat_cfg, pad))
         self._beam_step = jax.jit(make_beam_step(model, feat_cfg, blank))
+        self._eval_beam_step = jax.jit(
+            make_eval_beam_step(model, feat_cfg, blank,
+                                lm_apply=lm_apply, lm_weight=lm_weight,
+                                ctc_impl=train_cfg.ctc_impl)
+        )
 
         self.state: Optional[TrainState] = None
         self.history: Dict[str, List[float]] = {
@@ -440,6 +496,29 @@ class Trainer:
             batch.targets, batch.target_lengths.astype(np.int32),
         )
 
+    def _composed_step(self, sa: bool, noise_std: float):
+        """(augment ∘ core) two-dispatch step for the given augmentation
+        settings, cached per (sa, noise_std)."""
+        key = (bool(sa), float(noise_std))
+        if key not in self._step_cache:
+            aug = jax.jit(
+                make_augment_step(self.feat_cfg, self.train_cfg.specaugment,
+                                  use_specaugment=key[0], noise_std=key[1])
+            )
+
+            def step(state, audio, audio_lengths, targets, target_lengths):
+                feats, fl = aug(state.rng, audio, audio_lengths)
+                return self._train_core(state, feats, fl, targets, target_lengths)
+
+            self._step_cache[key] = step
+        return self._step_cache[key]
+
+    def _resolve_noise(self, add_noise: Optional[bool], noise_std: Optional[float]) -> float:
+        on = self.train_cfg.add_noise if add_noise is None else add_noise
+        if not on:
+            return 0.0
+        return self.train_cfg.noise_std if noise_std is None else noise_std
+
     # ----------------------------------------------------------------- train
 
     def train(
@@ -450,13 +529,39 @@ class Trainer:
         use_specaugment: Optional[bool] = None,
         epoch_offset: int = 0,
         checkpoint_manager=None,
+        add_noise: Optional[bool] = None,
+        noise_std: Optional[float] = None,
     ) -> Dict[str, List[float]]:
         """Epoch loop; with ``checkpoint_manager`` (train/checkpoint.
         CheckpointManager) a rotated checkpoint is written per epoch, keyed
-        best-by-val-loss."""
+        best-by-val-loss.  If ``TrainConfig.checkpoint_dir`` is set and no
+        manager is passed, one is created there (rotation =
+        ``keep_checkpoints``).  ``add_noise``/``noise_std`` override the
+        config's waveform-noise augmentation per call (the NST driver's
+        noisy-student knob).
+
+        Device-resident datasets (`data/device_cache.DeviceResidentDataset`)
+        are routed through the SAME compiled scan program as
+        `train_device_epochs`, dispatched one step at a time — the two paths
+        are bit-identical by construction (XLA compiles the scan body
+        independently of trip count, so scan-of-1 per step == scan-of-N; any
+        other pairing of separately-compiled programs diverges at Adam scale
+        on low-gradient parameters, where ±lr update signs follow
+        compilation-dependent float noise)."""
         assert self.state is not None, "call init_state() first"
         sa = self.train_cfg.use_specaugment if use_specaugment is None else use_specaugment
-        step_fn = self._train_step if sa else self._train_step_noaug
+        noise = self._resolve_noise(add_noise, noise_std)
+        checkpoint_manager = self._auto_ckpt_manager(checkpoint_manager)
+        if hasattr(dataset, "device_arrays"):
+            return self._train_resident(
+                dataset, epochs, val_dataset=val_dataset, use_specaugment=sa,
+                epoch_offset=epoch_offset, checkpoint_manager=checkpoint_manager,
+                fused=False, noise_std=noise,
+            )
+        step_fn = self._composed_step(sa, noise)
+        want_wer = self.train_cfg.train_wer
+        log_every = self.train_cfg.log_every
+        num_batches = dataset.num_batches() if hasattr(dataset, "num_batches") else None
 
         for epoch in range(epochs):
             t0 = time.time()
@@ -471,12 +576,24 @@ class Trainer:
             # latency — costly on tunneled/remote TPU setups)
             step_losses = []
             step_sizes = []
+            step_ids = []  # (ids_dev, indices) when train_wer is on
+            step_i = 0
             for batch in batches:
                 audio, alen, tgt, tlen = self._put(batch)
                 self.state, metrics = step_fn(self.state, audio, alen, tgt, tlen)
                 step_losses.append(metrics["loss"])
                 step_sizes.append(batch.size)
+                if want_wer:
+                    step_ids.append((metrics["ids"], batch.indices.copy()))
                 audio_seconds += float(batch.audio_lengths.sum()) / self.feat_cfg.sample_rate
+                step_i += 1
+                if log_every and step_i % log_every == 0:
+                    # progress note without a device sync (no loss pull)
+                    total = f"/{num_batches}" if num_batches else ""
+                    self.log(
+                        f"  epoch {epoch_offset + epoch} step {step_i}{total} "
+                        f"({audio_seconds / max(time.time() - t0, 1e-9):.1f} audio-s/s)"
+                    )
             for loss_dev, size in zip(np.asarray(jnp.stack(step_losses)), step_sizes):
                 loss = float(loss_dev)
                 if np.isnan(loss):
@@ -489,6 +606,10 @@ class Trainer:
                 f"epoch {epoch_offset + epoch}: loss={losses.result():.4f} "
                 f"({audio_seconds / max(dt, 1e-9):.1f} audio-s/s)"
             )
+            if want_wer:
+                twer = self._train_wer_from_steps(dataset, step_ids)
+                self.history["train_wer"].append(twer)
+                msg += f" train_wer={100 * twer:.2f}"
             if nan_steps:
                 msg += f" [{nan_steps} NaN steps]"
             if val_dataset is not None:
@@ -502,30 +623,100 @@ class Trainer:
                 checkpoint_manager.save(self.state, metric=metric)
         return self.history
 
-    def _epoch_scan_fn(self):
-        if getattr(self, "_epoch_scan", None) is None:
-            noise = self.train_cfg.noise_std if self.train_cfg.add_noise else 0.0
-            self._epoch_scan = jax.jit(
+    def _auto_ckpt_manager(self, checkpoint_manager):
+        if checkpoint_manager is None and self.train_cfg.checkpoint_dir:
+            if getattr(self, "_auto_ckpt", None) is None:
+                from nn_conformer_for_speech_recognition_tpu.train.checkpoint import (
+                    CheckpointManager,
+                )
+
+                self._auto_ckpt = CheckpointManager(
+                    self.train_cfg.checkpoint_dir,
+                    keep=self.train_cfg.keep_checkpoints,
+                )
+            return self._auto_ckpt
+        return checkpoint_manager
+
+    def _train_wer_from_steps(self, dataset, step_ids) -> float:
+        """Corpus WER of the training forward's greedy decodes (the
+        reference's per-batch train WER, `runner.py:149-160`), pulled at
+        epoch end."""
+        refs: List[str] = []
+        hyps: List[str] = []
+        for ids_dev, indices in step_ids:
+            ids = np.asarray(ids_dev)
+            for row, idx in enumerate(indices):
+                if idx < 0:
+                    continue
+                refs.append(dataset.utterances[int(idx)].transcript)
+                hyps.append(self.vocab.decode_ids(ids[row]))
+        return M.wer(refs, hyps) if refs else float("nan")
+
+    def _epoch_scan_fn(
+        self, use_specaugment: Optional[bool] = None, noise_std: float = 0.0
+    ):
+        sa = self.train_cfg.use_specaugment if use_specaugment is None else use_specaugment
+        key = (bool(sa), float(noise_std))
+        cache = getattr(self, "_epoch_scans", None)
+        if cache is None:
+            cache = self._epoch_scans = {}
+        if key not in cache:
+            cache[key] = jax.jit(
                 make_epoch_scan_step(
                     self.model, self.feat_cfg, self.train_cfg.specaugment,
                     self.vocab.blank_id,
-                    use_specaugment=self.train_cfg.use_specaugment,
-                    noise_std=noise, ctc_impl=self.train_cfg.ctc_impl,
+                    use_specaugment=sa,
+                    noise_std=key[1], ctc_impl=self.train_cfg.ctc_impl,
                     batch_sharding=self._batch_sharding,
                 ),
                 donate_argnums=(0,) if self.train_cfg.donate_state else (),
             )
-        return self._epoch_scan
+        return cache[key]
 
-    def train_device_epochs(self, dataset, epochs: int, epoch_offset: int = 0):
+    def train_device_epochs(
+        self,
+        dataset,
+        epochs: int,
+        val_dataset: Optional[BucketedDataset] = None,
+        use_specaugment: Optional[bool] = None,
+        epoch_offset: int = 0,
+        checkpoint_manager=None,
+        add_noise: Optional[bool] = None,
+        noise_std: Optional[float] = None,
+    ):
         """Epoch loop over a `DeviceResidentDataset` — ONE dispatch per epoch
         (`make_epoch_scan_step`).  The host only uploads the (steps, batch)
         shuffle-order matrix and pulls the per-step losses back at the end of
         each epoch; everything else stays on device.  For HBM-resident
         corpora this removes the per-step dispatch latency that bounds the
-        per-batch `train` path on tunneled TPUs."""
+        per-batch `train` path on tunneled TPUs.
+
+        Bit-identical to `train` over the same dataset (both run the same
+        compiled scan body; see `train`'s docstring), with the same per-epoch
+        validation and checkpoint hooks."""
+        return self._train_resident(
+            dataset, epochs, val_dataset=val_dataset,
+            use_specaugment=use_specaugment, epoch_offset=epoch_offset,
+            checkpoint_manager=self._auto_ckpt_manager(checkpoint_manager),
+            fused=True, noise_std=self._resolve_noise(add_noise, noise_std),
+        )
+
+    def _train_resident(
+        self,
+        dataset,
+        epochs: int,
+        val_dataset: Optional[BucketedDataset] = None,
+        use_specaugment: Optional[bool] = None,
+        epoch_offset: int = 0,
+        checkpoint_manager=None,
+        fused: bool = True,
+        noise_std: float = 0.0,
+    ):
+        """Shared epoch loop over device-resident arrays.  ``fused=True``
+        dispatches the whole epoch as one scan; ``fused=False`` dispatches the
+        same scan program one step (order row) at a time."""
         assert self.state is not None, "call init_state() first"
-        epoch_fn = self._epoch_scan_fn()
+        epoch_fn = self._epoch_scan_fn(use_specaugment, noise_std)
         arrays = dataset.device_arrays()
         audio_seconds = float(np.asarray(arrays[1]).sum()) / self.feat_cfg.sample_rate
         for epoch in range(epochs):
@@ -533,20 +724,41 @@ class Trainer:
             order = dataset.order_matrix(
                 seed=self.train_cfg.seed + epoch_offset + epoch
             )
-            self.state, losses = epoch_fn(self.state, *arrays, jnp.asarray(order))
-            losses = np.asarray(losses)
+            order_dev = jnp.asarray(order)
+            if fused:
+                self.state, (losses, sizes) = epoch_fn(self.state, *arrays, order_dev)
+            else:
+                step_out = []
+                for i in range(order.shape[0]):
+                    self.state, out = epoch_fn(self.state, *arrays, order_dev[i : i + 1])
+                    step_out.append(out)
+                losses = jnp.concatenate([o[0] for o in step_out])
+                sizes = jnp.concatenate([o[1] for o in step_out])
+            losses, sizes = np.asarray(losses), np.asarray(sizes)
             dt = time.time() - t0
-            valid = losses[~np.isnan(losses)]
-            mean_loss = float(valid.mean()) if valid.size else float("nan")
+            # weighted mean over non-NaN steps — same semantics as the
+            # host-batch path's M.Mean.update(loss, batch.size)
+            ok = ~np.isnan(losses)
+            wsum = float((sizes * ok).sum())
+            mean_loss = float((losses[ok] * sizes[ok]).sum() / wsum) if wsum else float("nan")
+            nan_steps = int((~ok).sum())
             self.history["train_loss"].append(mean_loss)
             msg = (
                 f"epoch {epoch_offset + epoch}: loss={mean_loss:.4f} "
-                f"({audio_seconds / max(dt, 1e-9):.1f} audio-s/s, fused epoch)"
+                f"({audio_seconds / max(dt, 1e-9):.1f} audio-s/s"
+                f"{', fused epoch' if fused else ''})"
             )
-            nan_steps = int(np.isnan(losses).sum())
             if nan_steps:
                 msg += f" [{nan_steps} NaN steps]"
+            if val_dataset is not None:
+                vloss, vwer = self.evaluate(val_dataset)
+                self.history["val_loss"].append(vloss)
+                self.history["val_wer"].append(vwer)
+                msg += f" val_loss={vloss:.4f} val_wer={100 * vwer:.2f}"
             self.log(msg)
+            if checkpoint_manager is not None:
+                metric = self.history["val_loss"][-1] if val_dataset is not None else None
+                checkpoint_manager.save(self.state, metric=metric)
         return self.history
 
     # ------------------------------------------------------------------ eval
@@ -568,16 +780,20 @@ class Trainer:
         hyps: List[str] = []
         for batch in dataset.epoch(shuffle=False):
             audio, alen, tgt, tlen = self._put(batch)
-            loss, ids, _ = self._eval_step(self.state, audio, alen, tgt, tlen)
-            losses.update(float(loss), batch.size)
             if decode == "beam":
-                toks, lens, _scores = self._beam_step(self.state, audio, alen)
+                # single forward: loss + beam 1-best from the same log-probs
+                loss, toks, lens = self._eval_beam_step(
+                    self.state, audio, alen, tgt, tlen
+                )
+                losses.update(float(loss), batch.size)
                 toks, lens = np.asarray(toks), np.asarray(lens)
                 ids = np.where(
                     np.arange(toks.shape[1])[None, :] < lens[:, None],
                     toks, self.vocab.pad_id,
                 )
             else:
+                loss, ids, _ = self._eval_step(self.state, audio, alen, tgt, tlen)
+                losses.update(float(loss), batch.size)
                 ids = np.asarray(ids)
             for row, idx in enumerate(batch.indices):
                 if idx < 0:

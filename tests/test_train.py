@@ -153,15 +153,14 @@ def test_ctc_impl_pallas_matches_xla(setup):
     np.testing.assert_allclose(losses["pallas"], losses["xla"], rtol=2e-4)
 
 
-def test_fused_epoch_scan_matches_per_step_loop(setup):
-    """`Trainer.train_device_epochs` (whole epoch as one lax.scan dispatch)
-    reproduces the per-dispatch `train` loop over the same device-resident
-    dataset: identical shuffle order → identical losses and final params."""
+def _fused_vs_per_step(feat_cfg, vocab, dataset, n_utts=None):
     from nn_conformer_for_speech_recognition_tpu.data.device_cache import (
         DeviceResidentDataset)
 
-    feat_cfg, vocab, dss = setup
-    dev = DeviceResidentDataset(dss["train"])
+    dev = DeviceResidentDataset(dataset)
+    if n_utts is not None:
+        # truncate for a ragged final batch (corpus % batch_size != 0)
+        dev.utterances = dev.utterances[:n_utts]
 
     per_step = _make_trainer(feat_cfg, vocab, sa=True)
     per_step.init_state(seed=0)
@@ -172,11 +171,52 @@ def test_fused_epoch_scan_matches_per_step_loop(setup):
     fused.train_device_epochs(dev, epochs=2)
 
     np.testing.assert_allclose(
-        fused.history["train_loss"], per_step.history["train_loss"], rtol=1e-5
+        fused.history["train_loss"], per_step.history["train_loss"], rtol=1e-6
     )
     for a, b in zip(
         jax.tree.leaves(jax.tree.map(np.asarray, per_step.state.params)),
         jax.tree.leaves(jax.tree.map(np.asarray, fused.state.params)),
     ):
-        np.testing.assert_allclose(a, b, atol=1e-5)
+        np.testing.assert_allclose(a, b, atol=1e-6)
     assert int(fused.state.step) == int(per_step.state.step)
+
+
+def test_fused_epoch_scan_matches_per_step_loop(setup):
+    """`Trainer.train_device_epochs` (whole epoch as one lax.scan dispatch)
+    reproduces the per-dispatch `train` loop over the same device-resident
+    dataset: identical shuffle order → identical losses and final params.
+    Both paths run the same compiled scan body (trip count 1 vs N), so the
+    trajectories are bit-identical — any pairing of separately-compiled
+    programs diverges at Adam scale on low-gradient params."""
+    feat_cfg, vocab, dss = setup
+    _fused_vs_per_step(feat_cfg, vocab, dss["train"])
+
+
+def test_fused_epoch_scan_ragged_final_batch(setup):
+    """Same parity with a ragged final batch (13 utts, batch 8): exercises
+    the -1 padding rows' loss weighting and masking in both paths."""
+    feat_cfg, vocab, dss = setup
+    _fused_vs_per_step(feat_cfg, vocab, dss["train"], n_utts=13)
+
+
+def test_fused_epoch_val_and_checkpoint(setup, tmp_path):
+    """The fused-epoch path supports per-epoch validation + checkpointing
+    like `train` (VERDICT round-1 item 1)."""
+    from nn_conformer_for_speech_recognition_tpu.data.device_cache import (
+        DeviceResidentDataset)
+    from nn_conformer_for_speech_recognition_tpu.train.checkpoint import (
+        CheckpointManager)
+
+    feat_cfg, vocab, dss = setup
+    dev = DeviceResidentDataset(dss["train"])
+    trainer = _make_trainer(feat_cfg, vocab, sa=True)
+    trainer.init_state(seed=0)
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), keep=2)
+    trainer.train_device_epochs(
+        dev, epochs=2, val_dataset=dss["validation"], checkpoint_manager=mgr
+    )
+    assert len(trainer.history["val_loss"]) == 2
+    assert len(trainer.history["val_wer"]) == 2
+    latest = mgr.latest()
+    assert latest is not None
+    assert latest.endswith(f"step_{int(trainer.state.step):08d}")
