@@ -31,6 +31,9 @@ def _common_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-target-len", type=int, default=32)
     p.add_argument("--bucket-boundaries", type=int, nargs="*", default=None,
                    help="bucket boundaries in samples; default = one bucket at max")
+    p.add_argument("--streaming", action="store_true",
+                   help="960h-scale streaming pipeline: no RAM audio cache, "
+                        "background decode pool + bounded batch queue")
     p.add_argument("--max-frames", type=int, default=None,
                    help="drop utterances longer than this many feature frames")
 
@@ -89,15 +92,29 @@ def _build(args):
         train_cfg.max_frames * feat_cfg.hop_length
         if train_cfg.max_frames is not None else None
     )
-    datasets = {
-        split: BucketedDataset(
-            utts, vocab, args.batch_size, sample_rate=args.sample_rate,
-            bucket_boundaries=train_cfg.bucket_boundaries,
-            max_samples=max_samples,
-            max_target_len=args.max_target_len,
+    if getattr(args, "streaming", False):
+        # 960h-scale path: no RAM cache, producer pool + bounded queue
+        from nn_conformer_for_speech_recognition_tpu.data.streaming import (
+            StreamingDataset,
         )
-        for split, utts in manifests.items()
-    }
+
+        def _mk(utts):
+            return StreamingDataset(
+                utts, vocab, args.batch_size, sample_rate=args.sample_rate,
+                bucket_boundaries=train_cfg.bucket_boundaries,
+                max_samples=max_samples,
+                max_target_len=args.max_target_len,
+            )
+    else:
+        def _mk(utts):
+            return BucketedDataset(
+                utts, vocab, args.batch_size, sample_rate=args.sample_rate,
+                bucket_boundaries=train_cfg.bucket_boundaries,
+                max_samples=max_samples,
+                max_target_len=args.max_target_len,
+            )
+
+    datasets = {split: _mk(utts) for split, utts in manifests.items()}
 
     mcfg = C.MODEL_PRESETS[args.model](
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
@@ -205,6 +222,41 @@ def cmd_pretrain(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """Reference-protocol WER parity run (VERDICT round-1 item 4): one
+    command that reproduces `main.ipynb`'s Base + NST table."""
+    from nn_conformer_for_speech_recognition_tpu.parity import run_parity
+
+    manifest_dir = args.manifest_dir
+    if args.speechcommands_dir:
+        from nn_conformer_for_speech_recognition_tpu.data.datasets import (
+            speechcommands_manifests,
+        )
+
+        manifest_dir = os.path.join(args.work_dir, "manifests")
+        speechcommands_manifests(args.speechcommands_dir, manifest_dir)
+    overrides = {}
+    if args.tiny:  # CI-scale model so the harness runs on the CPU mesh
+        from nn_conformer_for_speech_recognition_tpu import config as C
+
+        overrides = dict(
+            encoder=C.ConformerConfig(num_blocks=1, d_model=32, num_heads=2,
+                                      ffn_dim=64, conv_kernel_size=7,
+                                      dropout=0.0),
+            decoder=C.DecoderConfig(projection_dim=16, lstm_hidden=16,
+                                    dropout=0.0),
+            n_mels=args.n_mels,
+        )
+    results = run_parity(
+        manifest_dir, args.work_dir,
+        epochs=args.epochs, generations=args.generations,
+        batch_size=args.batch_size, max_target_len=args.max_target_len,
+        model_overrides=overrides,
+    )
+    print(json.dumps(results))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sys.path.insert(0, root)
@@ -265,6 +317,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--lr", type=float, default=3e-5)
     sp.add_argument("--save", default=None)
     sp.set_defaults(fn=cmd_pretrain)
+
+    sp = sub.add_parser(
+        "parity",
+        help="reference-protocol WER parity: Base + NST vs BASELINE.md table",
+    )
+    sp.add_argument("--manifest-dir", default=None,
+                    help="prepared manifests (train/validation/test/unlabeled)")
+    sp.add_argument("--speechcommands-dir", default=None,
+                    help="raw SpeechCommands directory (manifests built here)")
+    sp.add_argument("--work-dir", required=True)
+    sp.add_argument("--epochs", type=int, default=15)
+    sp.add_argument("--generations", type=int, default=3)
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--max-target-len", type=int, default=4)
+    sp.add_argument("--n-mels", type=int, default=40)
+    sp.add_argument("--tiny", action="store_true",
+                    help="CI-scale model (synthetic-corpus smoke run)")
+    sp.set_defaults(fn=cmd_parity)
 
     sp = sub.add_parser("benchmark", help="run bench.py")
     sp.set_defaults(fn=cmd_benchmark)

@@ -256,6 +256,12 @@ class MeshConfig:
     # Mosaic custom calls are opaque to the GSPMD partitioner, which would
     # otherwise all-gather operands and run every kernel replicated.
     shard_map_kernels: bool = False
+    # Ulysses sequence parallelism: shard the attention's TIME axis over the
+    # data axis (all-to-all to head shards inside, `parallel/sequence.py`).
+    # For very long audio with small batches — enable when T·heads per chip
+    # is the memory/compute bottleneck rather than batch; requires
+    # num_heads % axis_size == 0 (falls back to the dense path otherwise).
+    seq_parallel: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +295,10 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_dir: Optional[str] = None
     keep_checkpoints: int = 3
+    # also checkpoint every N steps WITH the data-iterator cursor (epoch,
+    # step) so a mid-epoch kill resumes at the exact step, not the epoch
+    # boundary (SURVEY.md §5 full train-state; 0 = per-epoch only)
+    checkpoint_every_steps: int = 0
     donate_state: bool = True
     # length bucketing replaces the reference's global max_len padding
     # (`speechcommands.py:188-190`); bucket boundaries in frames.

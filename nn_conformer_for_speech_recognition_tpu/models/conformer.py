@@ -144,7 +144,26 @@ class RelPositionMHSA(nn.Module):
             p = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="pos_proj")(rel)
             p = p.reshape(2 * t - 1, h, dh)
 
-            if self.use_pallas:
+            from nn_conformer_for_speech_recognition_tpu.parallel.sequence import (
+                active_sequence_mesh,
+                seq_parallel_applicable,
+                ulysses_relpos_attention,
+            )
+
+            seq = active_sequence_mesh()
+            if seq is not None and seq_parallel_applicable(
+                seq[0], seq[1], t, h
+            ):
+                # Ulysses sequence parallelism (MeshConfig.seq_parallel):
+                # time axis sharded over the mesh, heads + rel-pos table
+                # sliced per shard inside — see parallel/sequence.py
+                out = ulysses_relpos_attention(
+                    q, k, v, p,
+                    u_bias.astype(self.dtype), v_bias.astype(self.dtype),
+                    mask, scale,
+                    mesh=seq[0], axis=seq[1], use_pallas=self.use_pallas,
+                )
+            elif self.use_pallas:
                 from nn_conformer_for_speech_recognition_tpu.ops.pallas.attention import (
                     rel_attention_pallas,
                 )

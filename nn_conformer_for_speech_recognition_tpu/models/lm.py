@@ -149,46 +149,120 @@ def shallow_fusion(
     return asr_log_probs + lm_weight * jax.nn.log_softmax(lm_logits, axis=-1)
 
 
-def fuse_lm_weights_into_asr(asr_params: Dict, lm_params: Dict, scale: float = 1.0) -> Dict:
-    """Additively merge LM attention projection kernels into ASR MHSA
-    kernels where shapes match (`runner.py:78-101`): encoder-LM layers fold
-    into the first conformer blocks, decoder-LM layers into the mirrored
-    last blocks.  Shape-gated — non-matching kernels pass through."""
+def _lm_attn_as_qkv_out(attn: Dict):
+    """An LM attention module's params → (qkv_kernel (d, 3d), out_kernel
+    (d, d)) in the ASR MHSA layout, or None if the module is malformed.
+
+    flax MultiHeadDotProductAttention stores query/key/value as (d, H, dh)
+    and out as (H, dh, d); the ASR's fused qkv Dense is (d, 3d) with
+    [q | k | v] column blocks (`models/conformer.py` RelPositionMHSA), so the
+    per-projection merge is exact — the analogue of adding torch's
+    ``in_proj_weight`` (3d, d) and ``out_proj.weight``.
+    """
+    try:
+        d = attn["query"]["kernel"].shape[0]
+        q, k, v = (
+            jnp.reshape(attn[n]["kernel"], (d, -1)) for n in ("query", "key", "value")
+        )
+        out = jnp.reshape(attn["out"]["kernel"], (-1, d))
+    except (KeyError, TypeError):
+        return None
+    return jnp.concatenate([q, k, v], axis=1), out
+
+
+def fuse_lm_weights_into_asr(
+    asr_params: Dict, lm_params: Dict, scale: float = 1.0
+) -> Dict:
+    """Structured LM→ASR weight fusion, the reference's ``fuse_models``
+    mapping (`lib/standard/runner.py:78-101`):
+
+      * LM **encoder** ("input") layer i's attention projections are added
+        into conformer block i's MHSA, projection-by-projection (packed
+        q/k/v kernel ↔ qkv Dense, output projection ↔ out_proj);
+      * LM **decoder** ("output") layer i's *cross*-attention (the reference
+        excludes the masked self-attention, ``'mask' not in x``) is added
+        into the MIRRORED block ``n_blocks - i - 1``.
+
+    Kernels merge only when dimensions match (the reference implicitly
+    requires lm d_model == asr d_model); the ASR's qkv Dense is biasless so
+    the reference's in_proj_bias term has no target — documented deviation.
+    Fusing an all-zero LM is exactly a no-op (tested).
+    """
     asr_params = jax.tree.map(lambda x: x, asr_params)  # copy
 
-    def collect_attn_kernels(tree, out):
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                if "self_attn" in k or "attention" in k:
-                    for name in ("query", "key", "value", "out"):
-                        sub = v.get(name)
-                        if isinstance(sub, dict) and "kernel" in sub:
-                            out.append(sub["kernel"])
-                collect_attn_kernels(v, out)
-        return out
+    def lm_layer(prefix: str, i: int) -> Optional[Dict]:
+        node = lm_params
+        for k in ("params",):
+            if k in node and f"{prefix}{i}" not in node:
+                node = node[k]
+        return node.get(f"{prefix}{i}")
 
-    lm_kernels = collect_attn_kernels(lm_params, [])
-    if not lm_kernels:
+    enc = asr_params.get("encoder", asr_params)
+    block_names = sorted(
+        [k for k in enc if k.startswith("block_")], key=lambda s: int(s.split("_")[1])
+    )
+    n_blocks = len(block_names)
+    if n_blocks == 0:
         return asr_params
 
-    # target: qkv/out_proj kernels of conformer blocks, in block order
-    enc = asr_params.get("encoder", asr_params)
-    block_names = sorted([k for k in enc if k.startswith("block_")],
-                         key=lambda s: int(s.split("_")[1]))
+    def add_into(block_name: str, qkv_add, out_add):
+        mhsa = enc.get(block_name, {}).get("mhsa")
+        if not isinstance(mhsa, dict):
+            return
+        qkv = mhsa.get("qkv", {}).get("kernel")
+        if qkv is not None and qkv.shape == qkv_add.shape:
+            mhsa["qkv"]["kernel"] = qkv + scale * qkv_add.astype(qkv.dtype)
+        out = mhsa.get("out_proj", {}).get("kernel")
+        if out is not None and out.shape == out_add.shape:
+            mhsa["out_proj"]["kernel"] = out + scale * out_add.astype(out.dtype)
+
+    # encoder ("input") LM layers → first blocks
     i = 0
-    for b in block_names:
-        mhsa = enc[b].get("mhsa", {})
-        for name in ("qkv", "out_proj"):
-            node = mhsa.get(name)
-            if not (isinstance(node, dict) and "kernel" in node):
-                continue
-            if i < len(lm_kernels):
-                lk = lm_kernels[i]
-                k = node["kernel"]
-                flat_lk = jnp.reshape(lk, (-1,))
-                if flat_lk.size >= k.size:
-                    node["kernel"] = k + scale * jnp.reshape(
-                        flat_lk[: k.size], k.shape
-                    )
-                i += 1
+    while i < n_blocks:
+        layer = lm_layer("enc_", i)
+        if layer is None:
+            break
+        pair = _lm_attn_as_qkv_out(layer.get("self_attn", {}))
+        if pair is not None:
+            add_into(block_names[i], *pair)
+        i += 1
+
+    # decoder ("output") LM layers → mirrored last blocks, cross-attention
+    # only (reference: 'output' ... 'mask' not in x)
+    i = 0
+    while i < n_blocks:
+        layer = lm_layer("dec_", i)
+        if layer is None:
+            break
+        pair = _lm_attn_as_qkv_out(layer.get("cross_attn", {}))
+        if pair is not None:
+            add_into(block_names[n_blocks - i - 1], *pair)
+        i += 1
     return asr_params
+
+
+def make_pron_lm_apply(lm: TransformerLM, lm_variables, pron_table: np.ndarray):
+    """Adapter wiring the trained pronunciation→word `TransformerLM` into
+    the ASR shallow-fusion hook (`Trainer(lm_apply=...)`).
+
+    ``pron_table``: (word_vocab, P) int32 — each word id's pronunciation
+    token ids, pad-right with 0 (built from the lexicon by
+    `data/lm_corpus.py`).  The hook receives the greedy context word ids
+    (B, T); the pronunciation stream is the table rows flattened per frame
+    window, the word stream is the context itself — the reference's
+    ``lm(ngram, predict(x))`` with the enc-dec LM
+    (`lib/standard/asrnn.py:257-258` + `languagemodel.py:102-111`).
+
+    The table lookup is a one-hot matmul, not a gather (docs/STATUS.md env
+    fact 7: batched gathers compile pathologically on TPU).
+    """
+    table = jnp.asarray(pron_table, jnp.float32)  # (V, P)
+    vocab_size = table.shape[0]
+
+    def apply(ctx_ids: jnp.ndarray) -> jnp.ndarray:  # (B, T) → (B, T, V)
+        onehot = jax.nn.one_hot(ctx_ids, vocab_size, dtype=jnp.float32)
+        pron = jnp.einsum("btv,vp->btp", onehot, table)  # (B, T, P)
+        src = jnp.round(pron.reshape(ctx_ids.shape[0], -1)).astype(jnp.int32)
+        return lm.apply(lm_variables, src, ctx_ids, deterministic=True)
+
+    return apply

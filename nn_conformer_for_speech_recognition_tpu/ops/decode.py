@@ -7,12 +7,15 @@ for word vocab, CTC repeat-collapse for word pieces) lives in
 
 Beam search is the TPU-shaped version of CTC prefix beam search
 (Hannun et al. 2014): XLA needs static shapes, so the hypothesis set is a
-fixed-width beam held in dense arrays, per-step expansion considers only the
-top-``prune`` tokens of the frame, and duplicate prefixes are merged by
-rolling-hash equality with an O(C²) candidate comparison matrix (C = a few
-dozen — trivial on the VPU).  Everything is one ``lax.scan`` over time under
-``vmap`` over the batch; no host round-trips, so sharded decode for NST
-pseudo-labeling runs entirely on-device.
+fixed-width beam held in dense arrays, and per-step expansion considers only
+the top-``prune`` tokens of the frame.  Duplicate merging exploits the
+beam-uniqueness invariant — distinct beams always hold distinct prefixes, so
+the only possible collision is an *extend* landing on an existing *stay*
+(prefix_j + tok == prefix_i) — reducing the merge to a (beam, beam, prune)
+hash match instead of an O((beam·prune)²) all-pairs matrix.  Everything is
+one ``lax.scan`` over time under ``vmap`` over the batch; no host
+round-trips, so sharded decode for NST pseudo-labeling runs entirely
+on-device.
 """
 
 from __future__ import annotations
@@ -143,25 +146,36 @@ def _beam_step_core(
     cand_pb = jnp.where(overflow, NEG_INF, cand_pb)
     cand_pnb = jnp.where(overflow, NEG_INF, cand_pnb)
 
-    # ---- merge duplicates by hash ---------------------------------------
-    c = cand_hash.shape[0]
-    eq = (cand_hash[:, None] == cand_hash[None, :]) & (
-        cand_len[:, None] == cand_len[None, :]
-    )
-    # logsumexp of each candidate's duplicates-group, attributed to the
-    # first (lowest-index) member; the rest are squashed to NEG_INF.
-    def group_lse(v):
-        vm = jnp.where(eq, v[None, :], NEG_INF)  # (C, C)
-        m = jnp.max(vm, axis=1)
-        m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
-        out = m_safe + jnp.log(jnp.sum(jnp.exp(vm - m_safe[:, None]), axis=1))
-        return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
+    # ---- merge duplicates -------------------------------------------------
+    # Beams hold DISTINCT prefixes (invariant: the init hashes are distinct
+    # and this merge re-establishes uniqueness every step), so the only
+    # possible collision is extend(j, tok) == stay(i), i.e. prefix_j + tok =
+    # prefix_i.  That is a (beam, beam, P) match — not the O(C²) all-pairs
+    # matrix — and only p_nb mass moves (extends carry no blank mass).
+    ext_hash = state.phash[:, None] * _HASH_MULT + (tok_ids[None, :] + 1).astype(
+        jnp.uint32
+    )  # (beam, P) hash of parent j extended by token p
+    ext_valid = (state.lengths[:, None] < lmax)  # (beam, 1) broadcast over P
+    match = (
+        (state.phash[:, None, None] == ext_hash[None, :, :])
+        & (state.lengths[:, None, None] == state.lengths[None, :, None] + 1)
+        & ext_valid[None, :, :]
+    )  # (beam_i, beam_j, P)
 
-    merged_pb = group_lse(cand_pb)
-    merged_pnb = group_lse(cand_pnb)
-    first_of_group = jnp.argmax(eq, axis=1) == jnp.arange(c)
-    merged_pb = jnp.where(first_of_group, merged_pb, NEG_INF)
-    merged_pnb = jnp.where(first_of_group, merged_pnb, NEG_INF)
+    # absorb matching extends' p_nb into stay_i, then kill those extends
+    ext_masked = jnp.where(match, ext_pnb[None, :, :], NEG_INF)  # (beam, beam, P)
+    m = jnp.max(ext_masked, axis=(1, 2))
+    m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
+    absorbed = m_safe + jnp.log(
+        jnp.sum(jnp.exp(ext_masked - m_safe[:, None, None]), axis=(1, 2))
+    )
+    absorbed = jnp.where(m <= NEG_INF / 2, NEG_INF, absorbed)
+    stay_pnb_merged = jnp.logaddexp(cand_pnb[:beam], absorbed)
+    killed = jnp.any(match, axis=0).reshape(-1)  # (beam·P,)
+    merged_pb = cand_pb
+    merged_pnb = jnp.concatenate(
+        [stay_pnb_merged, jnp.where(killed, NEG_INF, cand_pnb[beam:])]
+    )
 
     # ---- top-beam selection ---------------------------------------------
     total = jnp.logaddexp(merged_pb, merged_pnb)

@@ -87,3 +87,129 @@ def sequence_sharding(mesh: Mesh, axis: str = "data"):
     from jax.sharding import NamedSharding
 
     return NamedSharding(mesh, P(None, axis))
+
+
+# ---------------------------------------------------------------------------
+# Product wiring: MeshConfig.seq_parallel activates an ambient sequence mesh
+# (same trace-time pattern as parallel/kernel_sharding.py) that
+# `models/conformer.RelPositionMHSA` consults to route through Ulysses.
+# ---------------------------------------------------------------------------
+
+import contextlib
+from typing import Optional, Tuple
+
+_ACTIVE_SEQ: Optional[Tuple[Mesh, str]] = None
+
+
+def set_sequence_mesh(mesh: Optional[Mesh], axis: str = "data") -> None:
+    """Activate (or deactivate with ``mesh=None``) sequence parallelism for
+    every subsequently *traced* attention layer."""
+    global _ACTIVE_SEQ
+    if mesh is None:
+        _ACTIVE_SEQ = None
+        return
+    if axis not in mesh.shape:
+        raise ValueError(f"mesh has no axis {axis!r} (axes: {tuple(mesh.shape)})")
+    _ACTIVE_SEQ = (mesh, axis)
+
+
+def active_sequence_mesh() -> Optional[Tuple[Mesh, str]]:
+    return _ACTIVE_SEQ
+
+
+@contextlib.contextmanager
+def sequence_mesh(mesh: Optional[Mesh], axis: str = "data"):
+    global _ACTIVE_SEQ
+    prev = _ACTIVE_SEQ
+    set_sequence_mesh(mesh, axis)
+    try:
+        yield
+    finally:
+        _ACTIVE_SEQ = prev
+
+
+def ulysses_relpos_attention(
+    q: jnp.ndarray,  # (B, T, H, dh)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    p: jnp.ndarray,  # (2T-1, H, dh) projected rel-pos table
+    u_bias: jnp.ndarray,  # (H, dh)
+    v_bias: jnp.ndarray,  # (H, dh)
+    mask: jnp.ndarray,  # (B, T) bool validity
+    scale: float,
+    mesh: Mesh,
+    axis: str = "data",
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Ulysses attention with Transformer-XL relative positions, head-sharded.
+
+    Drop-in for the dense paths in `models/conformer.RelPositionMHSA`: the
+    time axis is sharded over ``axis``; an all-to-all exchanges time shards
+    for head shards; each device runs full-length rel-pos attention on its
+    H/n heads with the rel-pos TABLE sliced per head shard (the table enters
+    `P(None, axis, None)` — O(T·H/n·dh) per device, never an O(H·T²) bias);
+    a second all-to-all restores time sharding.  With ``use_pallas`` the
+    local attention is the true-flash kernel, so per-device memory is O(T)
+    end-to-end.
+    """
+    n = mesh.shape[axis]
+    b, t, h, dh = q.shape
+    lengths = jnp.sum(mask.astype(jnp.int32), axis=1)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None, None),  # q, k, v time-sharded
+            P(None, axis, None, None),
+            P(None, axis, None, None),
+            P(None, axis, None),  # rel-pos table HEAD-sharded (dim 1)
+            P(axis, None),  # u/v biases head-sharded
+            P(axis, None),
+            P(None),  # lengths replicated
+        ),
+        out_specs=P(None, axis, None, None),
+        check_vma=False,
+    )
+    def inner(q_l, k_l, v_l, p_l, u_l, v_bias_l, lengths_l):
+        # (B, T/n, H, dh) → (B, T, H/n, dh)
+        def t2h(x):
+            return jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+
+        q_f, k_f, v_f = t2h(q_l), t2h(k_l), t2h(v_l)
+        qu = q_f + u_l[None, None]
+        qv = q_f + v_bias_l[None, None]
+        if use_pallas:
+            from nn_conformer_for_speech_recognition_tpu.ops.pallas.attention import (
+                flash_attention_relpos,
+            )
+
+            out = flash_attention_relpos(qu, qv, k_f, v_f, p_l, lengths_l, scale)
+        else:
+            from nn_conformer_for_speech_recognition_tpu.ops.relshift import (
+                rel_shift,
+            )
+
+            ac = jnp.einsum(
+                "bihd,bjhd->bhij", qu, k_f, preferred_element_type=jnp.float32
+            )
+            bd = rel_shift(
+                jnp.einsum(
+                    "bihd,lhd->bhil", qv, p_l, preferred_element_type=jnp.float32
+                )
+            )
+            scores = (ac + bd) * scale
+            key_ok = (jnp.arange(t)[None, :] < lengths_l[:, None])[:, None, None, :]
+            scores = jnp.where(key_ok, scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1).astype(q_f.dtype)
+            out = jnp.einsum("bhij,bjhd->bihd", probs, v_f)
+        # (B, T, H/n, dh) → (B, T/n, H, dh)
+        return jax.lax.all_to_all(out, axis, split_axis=1, concat_axis=2, tiled=True)
+
+    return inner(q, k, v, p, u_bias, v_bias, lengths)
+
+
+def seq_parallel_applicable(mesh: Mesh, axis: str, t: int, h: int) -> bool:
+    """Both all-to-alls and the head slice need exact divisibility."""
+    n = mesh.shape[axis]
+    return n > 1 and h % n == 0 and t % n == 0

@@ -24,6 +24,7 @@ NaN losses are *surfaced* (count tracked) instead of silently mapped to 100
 
 from __future__ import annotations
 
+import itertools
 import os
 import time
 from functools import partial
@@ -422,6 +423,16 @@ class Trainer:
             )
 
             set_kernel_mesh(self.mesh, mesh_cfg.data_axis)
+        if mesh_cfg.seq_parallel:
+            # Ulysses sequence parallelism: attention layers traced from now
+            # on shard their time axis over the data axis
+            # (parallel/sequence.py; falls back per-layer when heads or T
+            # don't divide the axis size)
+            from nn_conformer_for_speech_recognition_tpu.parallel.sequence import (
+                set_sequence_mesh,
+            )
+
+            set_sequence_mesh(self.mesh, mesh_cfg.data_axis)
 
         blank = vocab.blank_id
         pad = vocab.pad_id
@@ -531,6 +542,7 @@ class Trainer:
         checkpoint_manager=None,
         add_noise: Optional[bool] = None,
         noise_std: Optional[float] = None,
+        start_step: int = 0,
     ) -> Dict[str, List[float]]:
         """Epoch loop; with ``checkpoint_manager`` (train/checkpoint.
         CheckpointManager) a rotated checkpoint is written per epoch, keyed
@@ -547,7 +559,13 @@ class Trainer:
         independently of trip count, so scan-of-1 per step == scan-of-N; any
         other pairing of separately-compiled programs diverges at Adam scale
         on low-gradient parameters, where ±lr update signs follow
-        compilation-dependent float noise)."""
+        compilation-dependent float noise).
+
+        ``start_step`` skips that many batches of the FIRST epoch — the
+        resume cursor written by ``TrainConfig.checkpoint_every_steps``
+        checkpoints (epoch streams are deterministic per (seed, epoch), so
+        skip-and-continue reproduces an uninterrupted run exactly; see
+        `Trainer.resume`)."""
         assert self.state is not None, "call init_state() first"
         sa = self.train_cfg.use_specaugment if use_specaugment is None else use_specaugment
         noise = self._resolve_noise(add_noise, noise_std)
@@ -563,21 +581,24 @@ class Trainer:
         log_every = self.train_cfg.log_every
         num_batches = dataset.num_batches() if hasattr(dataset, "num_batches") else None
 
+        ckpt_every = self.train_cfg.checkpoint_every_steps
         for epoch in range(epochs):
             t0 = time.time()
             losses = M.Mean()
             nan_steps = 0
             audio_seconds = 0.0
-            batches = PrefetchIterator(
-                dataset.epoch(seed=self.train_cfg.seed + epoch_offset + epoch)
-            )
+            stream = dataset.epoch(seed=self.train_cfg.seed + epoch_offset + epoch)
+            skip = start_step if epoch == 0 else 0
+            if skip:
+                stream = itertools.islice(stream, skip, None)
+            batches = PrefetchIterator(stream)
             # defer host syncs: keep per-step losses on device, pull once per
             # epoch (a per-step float() would serialise dispatch on transfer
             # latency — costly on tunneled/remote TPU setups)
             step_losses = []
             step_sizes = []
             step_ids = []  # (ids_dev, indices) when train_wer is on
-            step_i = 0
+            step_i = skip
             for batch in batches:
                 audio, alen, tgt, tlen = self._put(batch)
                 self.state, metrics = step_fn(self.state, audio, alen, tgt, tlen)
@@ -587,6 +608,11 @@ class Trainer:
                     step_ids.append((metrics["ids"], batch.indices.copy()))
                 audio_seconds += float(batch.audio_lengths.sum()) / self.feat_cfg.sample_rate
                 step_i += 1
+                if ckpt_every and checkpoint_manager is not None and step_i % ckpt_every == 0:
+                    checkpoint_manager.save(
+                        self.state,
+                        iterator={"epoch": epoch_offset + epoch, "step": step_i},
+                    )
                 if log_every and step_i % log_every == 0:
                     # progress note without a device sync (no loss pull)
                     total = f"/{num_batches}" if num_batches else ""
@@ -620,8 +646,46 @@ class Trainer:
             self.log(msg)
             if checkpoint_manager is not None:
                 metric = self.history["val_loss"][-1] if val_dataset is not None else None
-                checkpoint_manager.save(self.state, metric=metric)
+                checkpoint_manager.save(
+                    self.state, metric=metric,
+                    iterator={"epoch": epoch_offset + epoch + 1, "step": 0},
+                )
         return self.history
+
+    def resume(
+        self,
+        dataset: BucketedDataset,
+        epochs: int,
+        val_dataset: Optional[BucketedDataset] = None,
+        checkpoint_manager=None,
+        **train_kwargs,
+    ) -> Dict[str, List[float]]:
+        """Resume an interrupted `train(dataset, epochs, ...)` run from the
+        newest checkpoint, including a MID-EPOCH cursor written by
+        ``TrainConfig.checkpoint_every_steps``: restores the full TrainState
+        and skips the already-consumed batches of the interrupted epoch, so
+        the completed run's losses/params equal an uninterrupted run's
+        (tests/test_train.py kill-and-resume tests; SURVEY.md §5 data-
+        iterator row)."""
+        manager = self._auto_ckpt_manager(checkpoint_manager)
+        assert manager is not None, "resume needs a checkpoint manager/dir"
+        assert self.state is not None, "call init_state() first"
+        state, it = manager.restore_latest_with_iterator(self.state)
+        if state is None:
+            return self.train(
+                dataset, epochs, val_dataset=val_dataset,
+                checkpoint_manager=manager, **train_kwargs,
+            )
+        self.state = state
+        start_epoch = it["epoch"] if it else 0
+        start_step = it["step"] if it else 0
+        if start_epoch >= epochs and start_step == 0:
+            return self.history
+        return self.train(
+            dataset, epochs - start_epoch, val_dataset=val_dataset,
+            epoch_offset=start_epoch, checkpoint_manager=manager,
+            start_step=start_step, **train_kwargs,
+        )
 
     def _auto_ckpt_manager(self, checkpoint_manager):
         if checkpoint_manager is None and self.train_cfg.checkpoint_dir:
@@ -758,7 +822,10 @@ class Trainer:
             self.log(msg)
             if checkpoint_manager is not None:
                 metric = self.history["val_loss"][-1] if val_dataset is not None else None
-                checkpoint_manager.save(self.state, metric=metric)
+                checkpoint_manager.save(
+                    self.state, metric=metric,
+                    iterator={"epoch": epoch_offset + epoch + 1, "step": 0},
+                )
         return self.history
 
     # ------------------------------------------------------------------ eval
@@ -768,12 +835,15 @@ class Trainer:
         dataset: BucketedDataset,
         dump_path: Optional[str] = None,
         decode: str = "greedy",
+        wer_protocol: str = "standard",
     ) -> Tuple[float, float]:
         """Mean loss and corpus WER over a split.
 
         ``decode='greedy'`` matches the reference predict (`asrnn.py:48-58`);
         ``decode='beam'`` runs the on-device vectorized CTC beam search (the
-        capability the reference lacks)."""
+        capability the reference lacks).  ``wer_protocol='padded'`` scores
+        with the reference's '_'-padded alignment (`runner.py:149-160`,
+        `train/metrics.padded_wer`) — used by the WER-parity harness."""
         assert self.state is not None
         losses = M.Mean()
         refs: List[str] = []
@@ -809,8 +879,9 @@ class Trainer:
         from nn_conformer_for_speech_recognition_tpu.parallel import multihost as MH
 
         loss_g, _ = MH.gather_metric(losses.result(), losses.count)
+        wer_fn = M.padded_wer if wer_protocol == "padded" else M.wer
         nwords = sum(len(r.split()) for r in refs)
-        wer_g, _ = MH.gather_metric(M.wer(refs, hyps), max(nwords, 1))
+        wer_g, _ = MH.gather_metric(wer_fn(refs, hyps), max(nwords, 1))
         return loss_g, wer_g
 
     # ------------------------------------------------------------- NST labels

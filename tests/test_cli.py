@@ -63,3 +63,27 @@ def test_cli_train_eval_roundtrip(manifest_dir, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     res = json.loads(out)
     assert res["split"] == "test" and "wer" in res
+
+
+def test_cli_parity_harness(manifest_dir, tmp_path, capsys):
+    """The WER-parity harness runs the full reference protocol (supervised +
+    padded-WER evals + NST generations) end-to-end on the synthetic corpus
+    and emits the BASELINE.md comparison table (VERDICT round-1 item 4).
+    Real-data numbers are blocked on dataset availability (docs/STATUS.md)."""
+    wd = str(tmp_path / "parity")
+    rc = main([
+        "parity", "--manifest-dir", manifest_dir, "--work-dir", wd,
+        "--epochs", "1", "--generations", "1", "--batch-size", "8", "--tiny",
+        "--n-mels", "40",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    results = json.loads(out.strip().splitlines()[-1])
+    assert "base" in results["wer"] and "nst" in results["wer"]
+    for tab in (results["wer"]["base"], results["wer"]["nst"]):
+        assert 0.0 <= tab["val"] and 0.0 <= tab["test"]
+    assert results["reference"]["nst"] == {"val": 16.23, "test": 18.08}
+    assert os.path.exists(os.path.join(wd, "parity.md"))
+    assert os.path.exists(os.path.join(wd, "parity.json"))
+    table = open(os.path.join(wd, "parity.md")).read()
+    assert "| Base (supervised) |" in table and "17.02" in table

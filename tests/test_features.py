@@ -87,3 +87,23 @@ def test_featurizer_jit(rng):
     x = jnp.asarray(rng.standard_normal((4, 16000)).astype(np.float32))
     feats, fl = fz(x, jnp.full((4,), 16000))
     assert feats.shape == (4, 32, 40)
+
+
+@pytest.mark.parametrize(
+    "sr,nfft,nm,fmin,fmax",
+    [(16000, 512, 40, 0.0, 8000.0), (16000, 400, 80, 20.0, 7600.0),
+     (8000, 256, 40, 0.0, 4000.0)],
+)
+def test_mel_filterbank_matches_librosa_equivalent(sr, nfft, nm, fmin, fmax):
+    """External (non-self-referential) Slaney filterbank check: compare
+    against transformers.audio_utils.mel_filter_bank — HF's independent
+    port of librosa.filters.mel (what the reference actually calls,
+    `speechcommands.py:113`), numerically equal to librosa."""
+    au = pytest.importorskip("transformers.audio_utils")
+    ours = F.mel_filterbank(sr, nfft, nm, fmin, fmax)
+    ref = au.mel_filter_bank(
+        num_frequency_bins=nfft // 2 + 1, num_mel_filters=nm,
+        min_frequency=fmin, max_frequency=fmax, sampling_rate=sr,
+        norm="slaney", mel_scale="slaney",
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-6)

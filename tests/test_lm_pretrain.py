@@ -61,31 +61,108 @@ def test_shallow_fusion_changes_logits(rng):
     assert not np.allclose(np.asarray(fused), np.asarray(asr_lp))
 
 
-def test_weight_fusion_modifies_mhsa(rng):
-    """fuse_models semantics (`runner.py:78-101`): ASR attention kernels move."""
+def _fusion_fixture(rng, d=8, heads=2, n_blocks=3):
+    """Real TransformerLM params + a toy n-block ASR encoder tree."""
+    lm = TransformerLM(src_vocab=11, tgt_vocab=7, d=d, heads=heads, ffn=16,
+                       enc_layers=1, dec_layers=1, dropout=0.0)
+    lm_vars = lm.init(
+        jax.random.key(0), jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 3), jnp.int32)
+    )
     asr_params = {
         "encoder": {
-            "block_0": {
+            f"block_{i}": {
                 "mhsa": {
-                    "qkv": {"kernel": jnp.ones((8, 24))},
-                    "out_proj": {"kernel": jnp.ones((8, 8))},
+                    "qkv": {"kernel": jnp.ones((d, 3 * d)) * (i + 1)},
+                    "out_proj": {"kernel": jnp.ones((d, d)) * (i + 1)},
                 }
             }
+            for i in range(n_blocks)
         }
     }
-    lm_params = {
-        "enc_0": {
-            "self_attn": {
-                "query": {"kernel": jnp.full((8, 2, 12), 0.5)},
-                "key": {"kernel": jnp.full((8, 2, 12), 0.25)},
-            }
-        }
-    }
+    return lm, lm_vars["params"], asr_params
+
+
+def test_weight_fusion_zero_lm_is_noop(rng):
+    """Fusing an all-zero LM must leave the ASR bit-identical (semantic
+    no-op check, not just 'weights changed')."""
+    _, lm_params, asr_params = _fusion_fixture(rng)
+    zero_lm = jax.tree.map(jnp.zeros_like, lm_params)
+    fused = fuse_lm_weights_into_asr(asr_params, zero_lm)
+    for a, b in zip(jax.tree.leaves(fused), jax.tree.leaves(asr_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_weight_fusion_structured_mapping(rng):
+    """`runner.py:78-101` semantics: encoder-LM layer 0 → block_0
+    projection-by-projection, decoder-LM layer 0 (cross-attention) →
+    mirrored block_2, middle block untouched."""
+    d = 8
+    _, lm_params, asr_params = _fusion_fixture(rng, d=d)
     fused = fuse_lm_weights_into_asr(asr_params, lm_params)
-    q = np.asarray(fused["encoder"]["block_0"]["mhsa"]["qkv"]["kernel"])
-    assert np.allclose(q, 1.5)  # 1 + 0.5
-    o = np.asarray(fused["encoder"]["block_0"]["mhsa"]["out_proj"]["kernel"])
-    assert np.allclose(o, 1.25)  # 1 + 0.25
+
+    def qkv_out(attn):
+        q, k, v = (
+            np.asarray(attn[n]["kernel"]).reshape(d, -1)
+            for n in ("query", "key", "value")
+        )
+        return (
+            np.concatenate([q, k, v], axis=1),
+            np.asarray(attn["out"]["kernel"]).reshape(-1, d),
+        )
+
+    enc_qkv, enc_out = qkv_out(lm_params["enc_0"]["self_attn"])
+    dec_qkv, dec_out = qkv_out(lm_params["dec_0"]["cross_attn"])
+    f = fused["encoder"]
+    a = asr_params["encoder"]
+    np.testing.assert_allclose(
+        np.asarray(f["block_0"]["mhsa"]["qkv"]["kernel"]),
+        np.asarray(a["block_0"]["mhsa"]["qkv"]["kernel"]) + enc_qkv, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f["block_0"]["mhsa"]["out_proj"]["kernel"]),
+        np.asarray(a["block_0"]["mhsa"]["out_proj"]["kernel"]) + enc_out, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f["block_2"]["mhsa"]["qkv"]["kernel"]),
+        np.asarray(a["block_2"]["mhsa"]["qkv"]["kernel"]) + dec_qkv, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f["block_2"]["mhsa"]["out_proj"]["kernel"]),
+        np.asarray(a["block_2"]["mhsa"]["out_proj"]["kernel"]) + dec_out, rtol=1e-6,
+    )
+    # untouched middle block
+    np.testing.assert_array_equal(
+        np.asarray(f["block_1"]["mhsa"]["qkv"]["kernel"]),
+        np.asarray(a["block_1"]["mhsa"]["qkv"]["kernel"]),
+    )
+
+
+def test_pron_lm_apply_shallow_fusion(rng):
+    """The trained pronunciation→word TransformerLM wires into the ASR
+    shallow-fusion hook: logits change vs no-LM, weight 0 is a no-op."""
+    from nn_conformer_for_speech_recognition_tpu.models.lm import (
+        make_pron_lm_apply,
+    )
+
+    v_words, v_pron, p = 7, 11, 3
+    lm = TransformerLM(src_vocab=v_pron, tgt_vocab=v_words, d=8, heads=2,
+                       ffn=16, enc_layers=1, dec_layers=1, dropout=0.0)
+    tbl = rng.integers(0, v_pron, size=(v_words, p)).astype(np.int32)
+    b, t = 2, 5
+    lm_vars = lm.init(
+        jax.random.key(0),
+        jnp.zeros((1, t * p), jnp.int32), jnp.zeros((1, t), jnp.int32),
+    )
+    lm_apply = make_pron_lm_apply(lm, lm_vars, tbl)
+    asr_lp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((b, t, v_words)).astype(np.float32))
+    )
+    fused = shallow_fusion(asr_lp, lm_apply, lm_weight=0.5)
+    assert fused.shape == asr_lp.shape
+    assert np.isfinite(np.asarray(fused)).all()
+    assert not np.allclose(np.asarray(fused), np.asarray(asr_lp))
+    noop = shallow_fusion(asr_lp, lm_apply, lm_weight=0.0)
+    np.testing.assert_allclose(np.asarray(noop), np.asarray(asr_lp), atol=1e-7)
 
 
 def _pt_cfgs():

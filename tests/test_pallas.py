@@ -239,16 +239,92 @@ def test_flash_relpos_backward_matches_autodiff(rng):
     grads_ref = jax.grad(ref_fn, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
 
     out = None
-    # forward via the reference (same math), custom bwd via _far_bwd
+    # forward via the reference (same math), XLA-einsum bwd via _far_bwd_xla
     bd_full = jnp.einsum("bihd,lhd->bhil", qv, p)
     idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)
     bias = jnp.take_along_axis(bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1)
     out = flash_attention_reference(qu, k, v, bias, lengths, 0.5)
-    grads = A._far_bwd(0.5, (qu, qv, k, v, p, lengths), 2 * out)
+    grads = A._far_bwd_xla(0.5, (qu, qv, k, v, p, lengths), 2 * out)
     names = ("dqu", "dqv", "dk", "dv", "dp")
     for name, got, ref in zip(names, grads[:5], grads_ref):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=3e-4, err_msg=name
+        )
+
+
+def test_flash_relpos_pallas_backward_matches_autodiff(rng):
+    """The blockwise Pallas backward (dq/dkv/dband kernels through the real
+    custom_vjp) == autodiff of the bias-formulated reference, with multiple
+    q/kv tiles, ragged lengths and a padded-to-tile sequence."""
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.attention import (
+        flash_attention_relpos,
+    )
+
+    b, t, h, dh = 2, 20, 2, 16  # t=20 → t_pad=24 at block=8: 3 tiles + row pad
+    qu, qv, k, v = (
+        jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+        for _ in range(4)
+    )
+    p = jnp.asarray(rng.standard_normal((2 * t - 1, h, dh)).astype(np.float32) * 0.3)
+    lengths = jnp.array([t, t - 7])
+
+    def ref_fn(qu, qv, k, v, p):
+        bd_full = jnp.einsum("bihd,lhd->bhil", qv, p)
+        idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)
+        bias = jnp.take_along_axis(
+            bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1
+        )
+        out = flash_attention_reference(qu, k, v, bias, lengths, 0.5)
+        # only valid rows contribute (masked-query rows differ by design)
+        row_ok = (jnp.arange(t)[None, :] < lengths[:, None])[..., None, None]
+        return jnp.sum(jnp.where(row_ok, out, 0.0) ** 2)
+
+    grads_ref = jax.grad(ref_fn, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
+
+    def pallas_fn(qu, qv, k, v, p):
+        out = flash_attention_relpos(qu, qv, k, v, p, lengths, 0.5)
+        row_ok = (jnp.arange(t)[None, :] < lengths[:, None])[..., None, None]
+        return jnp.sum(jnp.where(row_ok, out, 0.0) ** 2)
+
+    grads = jax.grad(pallas_fn, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
+    names = ("dqu", "dqv", "dk", "dv", "dp")
+    for name, got, ref in zip(names, grads, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-4, err_msg=name
+        )
+
+
+def test_flash_relpos_pallas_backward_single_tile(rng):
+    """Single-tile degenerate case (tiles=1, diff grid of width 1)."""
+    from nn_conformer_for_speech_recognition_tpu.ops.pallas.attention import (
+        flash_attention_relpos,
+    )
+
+    b, t, h, dh = 1, 8, 1, 8
+    qu, qv, k, v = (
+        jnp.asarray(rng.standard_normal((b, t, h, dh)).astype(np.float32))
+        for _ in range(4)
+    )
+    p = jnp.asarray(rng.standard_normal((2 * t - 1, h, dh)).astype(np.float32) * 0.3)
+    lengths = jnp.array([t])
+
+    def ref_fn(qu, qv, k, v, p):
+        bd_full = jnp.einsum("bihd,lhd->bhil", qv, p)
+        idx = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None]) + (t - 1)
+        bias = jnp.take_along_axis(
+            bd_full, jnp.broadcast_to(idx, (b, h, t, t)), axis=-1
+        )
+        return jnp.sum(flash_attention_reference(qu, k, v, bias, lengths, 0.5) ** 2)
+
+    grads_ref = jax.grad(ref_fn, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
+
+    def pallas_fn(qu, qv, k, v, p):
+        return jnp.sum(flash_attention_relpos(qu, qv, k, v, p, lengths, 0.5) ** 2)
+
+    grads = jax.grad(pallas_fn, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
+    for name, got, ref in zip(("dqu", "dqv", "dk", "dv", "dp"), grads, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-4, err_msg=name
         )
 
 
