@@ -75,17 +75,21 @@ class BeamState(NamedTuple):
 _HASH_MULT = jnp.uint32(1000003)
 
 
-def _beam_step(state: BeamState, inputs, *, blank_id: int, beam: int, prune: int):
-    logp, active = inputs  # (V,), scalar bool
+def _beam_step(state: BeamState, inputs, *, beam: int, prune: int):
+    """Scan body over precomputed per-frame candidates.
 
-    # Top-`prune` tokens this frame (excluding blank — handled separately).
-    logp_noblank = logp.at[blank_id].set(NEG_INF)
-    tok_lp, tok_ids = jax.lax.top_k(logp_noblank, prune)  # (P,)
-    lp_blank = logp[blank_id]
-    # repeat of last token extends p_nb without changing the prefix
-    lp_last = jnp.where(
-        state.last >= 0, logp[jnp.maximum(state.last, 0)], NEG_INF
+    The V-wide top-k runs OUTSIDE the scan (one batched ``top_k`` over all
+    frames — inside the scan it serializes 240 V-wide sorts and dominated
+    beam cost); only beam-width work remains per frame.
+    """
+    logp, tok_lp, tok_ids, lp_blank, active = inputs  # (V,), (P,), (P,), (), ()
+    # repeat of last token extends p_nb without changing the prefix.
+    # One-hot contraction, not logp[last]: batched gathers in the scan are
+    # pathological on TPU (docs/STATUS.md #7); mirrors the sharded path.
+    onehot = (state.last[:, None] == jnp.arange(logp.shape[0])[None, :]).astype(
+        logp.dtype
     )
+    lp_last = jnp.where(state.last >= 0, onehot @ logp, NEG_INF)
     return _beam_step_core(
         state, tok_lp, tok_ids, lp_blank, lp_last, active, beam=beam, prune=prune
     )
@@ -123,26 +127,29 @@ def _beam_step_core(
 
     # ---- flatten to candidate arrays ------------------------------------
     # candidate i in [0, beam): stay; i in [beam, beam+beam*P): extend.
+    # NO index gathers anywhere in this step: batched gathers under
+    # vmap+scan are pathological on TPU (docs/STATUS.md #7 — the CTC emit
+    # gather alone cost 180 ms) — everything is broadcasts and one-hot
+    # reductions, which XLA fuses and the MXU/VPU eat.
     n_ext = beam * prune
     cand_pb = jnp.concatenate([stay_pb, jnp.full((n_ext,), NEG_INF)])
     cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
-    parent = jnp.concatenate(
-        [jnp.arange(beam), jnp.repeat(jnp.arange(beam), prune)]
-    )
+    # "parent beam" of each candidate, as broadcasts (stay_i→i, ext(j,p)→j)
+    bcast = lambda x: jnp.broadcast_to(x[:, None], (beam, prune)).reshape(-1)
+    parent = jnp.concatenate([jnp.arange(beam), bcast(jnp.arange(beam))])
     ext_tok = jnp.concatenate(
         [jnp.full((beam,), -1, jnp.int32), jnp.tile(tok_ids, beam)]
     )
     is_ext = ext_tok >= 0
 
-    cand_len = state.lengths[parent] + is_ext.astype(jnp.int32)
-    cand_last = jnp.where(is_ext, ext_tok, state.last[parent])
-    cand_hash = jnp.where(
-        is_ext,
-        state.phash[parent] * _HASH_MULT + (ext_tok + 1).astype(jnp.uint32),
-        state.phash[parent],
-    )
+    cand_len = jnp.concatenate([state.lengths, bcast(state.lengths) + 1])
+    cand_last = jnp.concatenate([state.last, jnp.tile(tok_ids, beam)])
+    ext_hash_all = bcast(state.phash) * _HASH_MULT + (
+        jnp.tile(tok_ids, beam) + 1
+    ).astype(jnp.uint32)
+    cand_hash = jnp.concatenate([state.phash, ext_hash_all])
     # guard: extensions past Lmax are invalid
-    overflow = is_ext & (state.lengths[parent] >= lmax)
+    overflow = is_ext & (jnp.concatenate([state.lengths, bcast(state.lengths)]) >= lmax)
     cand_pb = jnp.where(overflow, NEG_INF, cand_pb)
     cand_pnb = jnp.where(overflow, NEG_INF, cand_pnb)
 
@@ -181,11 +188,23 @@ def _beam_step_core(
     total = jnp.logaddexp(merged_pb, merged_pnb)
     _, top_idx = jax.lax.top_k(total, beam)
 
-    sel_parent = parent[top_idx]
-    sel_tok = ext_tok[top_idx]
+    # gather-free selection: one-hot mask over the C candidates; every
+    # pick is a masked sum (exactly one nonzero per row, so exact for
+    # ints/uint32 hashes — a float matmul would round 32-bit hashes)
+    n_cand = beam + n_ext
+    sel = top_idx[:, None] == jnp.arange(n_cand)[None, :]  # (beam, C) bool
+    pick = lambda x: jnp.sum(
+        jnp.where(sel, x[None, :], jnp.zeros_like(x[:1])), axis=1
+    )
+    sel_parent = pick(parent)
+    sel_tok = pick(ext_tok)
     sel_is_ext = sel_tok >= 0
-    new_prefixes = state.prefixes[sel_parent]
-    append_pos = state.lengths[sel_parent]
+    # parent-row pick of prefixes/lengths via a (beam_new, beam_old) one-hot
+    pmat = sel_parent[:, None] == jnp.arange(beam)[None, :]
+    new_prefixes = jnp.sum(
+        jnp.where(pmat[:, :, None], state.prefixes[None, :, :], 0), axis=1
+    )
+    append_pos = jnp.sum(jnp.where(pmat, state.lengths[None, :], 0), axis=1)
     one_hot = (
         jnp.arange(lmax)[None, :] == append_pos[:, None]
     ) & sel_is_ext[:, None]
@@ -193,11 +212,11 @@ def _beam_step_core(
 
     new_state = BeamState(
         prefixes=new_prefixes,
-        lengths=cand_len[top_idx],
-        last=cand_last[top_idx],
-        p_b=merged_pb[top_idx],
-        p_nb=merged_pnb[top_idx],
-        phash=cand_hash[top_idx],
+        lengths=pick(cand_len),
+        last=pick(cand_last),
+        p_b=pick(merged_pb),
+        p_nb=pick(merged_pnb),
+        phash=pick(cand_hash),
     )
     # inactive frame (t >= length): carry state through unchanged
     new_state = jax.tree.map(
@@ -247,8 +266,12 @@ def ctc_beam_search(
             phash=jnp.arange(beam, dtype=jnp.uint32) * jnp.uint32(2654435761),
         )
         active = jnp.arange(t) < n_frames
-        step = partial(_beam_step, blank_id=blank_id, beam=beam, prune=prune)
-        final, _ = jax.lax.scan(step, init, (lp, active))
+        # one batched V-wide top-k for all frames, outside the scan
+        lp_noblank = lp.at[:, blank_id].set(NEG_INF)
+        tok_lp, tok_ids = jax.lax.top_k(lp_noblank, prune)  # (T, P)
+        lp_blank = lp[:, blank_id]  # (T,)
+        step = partial(_beam_step, beam=beam, prune=prune)
+        final, _ = jax.lax.scan(step, init, (lp, tok_lp, tok_ids, lp_blank, active))
         score = jnp.logaddexp(final.p_b, final.p_nb)
         order = jnp.argsort(-score)
         return final.prefixes[order], final.lengths[order], score[order]
