@@ -46,6 +46,12 @@ def _common_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--use-pallas", action="store_true")
     p.add_argument("--ctc-impl", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--seq-parallel", action="store_true",
+                   help="Ulysses sequence parallelism: shard attention's "
+                        "time axis over the data mesh axis")
+    p.add_argument("--shard-map-kernels", action="store_true",
+                   help="wrap Pallas kernels in shard_map over the data axis "
+                        "(required on real multi-chip slices)")
     p.add_argument("--n-mels", type=int, default=40)
     p.add_argument("--checkpoint", default=None, help="restore full state")
     p.add_argument("--encoder-checkpoint", default=None,
@@ -85,7 +91,11 @@ def _build(args):
         bucket_boundaries=tuple(args.bucket_boundaries or ()),
         max_frames=args.max_frames,
         checkpoint_dir=getattr(args, "checkpoint_dir", None),
+        checkpoint_every_steps=getattr(args, "checkpoint_every_steps", 0),
         train_wer=getattr(args, "train_wer", False),
+        beam=getattr(args, "beam", 8),
+        prune=getattr(args, "prune", 16),
+        max_label_len=getattr(args, "max_label_len", 64),
     )
     # max_frames (feature frames) → waveform samples for the dataset filter
     max_samples = (
@@ -120,7 +130,11 @@ def _build(args):
         compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
         n_mels=args.n_mels,
     )
-    mesh_cfg = C.MeshConfig(model_parallel_size=args.model_parallel)
+    mesh_cfg = C.MeshConfig(
+        model_parallel_size=args.model_parallel,
+        seq_parallel=getattr(args, "seq_parallel", False),
+        shard_map_kernels=getattr(args, "shard_map_kernels", False),
+    )
     model = ConformerCTC(mcfg, vocab_size=len(vocab))
     trainer = Trainer(model, vocab, feat_cfg, train_cfg, mesh_cfg)
     trainer.init_state(seed=getattr(args, "seed", 0))
@@ -146,8 +160,15 @@ def cmd_prepare_data(args) -> int:
 
 def cmd_train(args) -> int:
     trainer, datasets, vocab = _build(args)
-    trainer.train(datasets["train"], args.epochs,
-                  val_dataset=datasets.get("validation"))
+    if getattr(args, "resume", False):
+        if not args.checkpoint_dir:
+            print("--resume requires --checkpoint-dir", file=sys.stderr)
+            return 2
+        trainer.resume(datasets["train"], args.epochs,
+                       val_dataset=datasets.get("validation"))
+    else:
+        trainer.train(datasets["train"], args.epochs,
+                      val_dataset=datasets.get("validation"))
     if args.save:
         trainer.save(args.save)
     if args.plots:
@@ -161,17 +182,17 @@ def cmd_eval(args) -> int:
     trainer, datasets, vocab = _build(args)
     split = datasets[args.split]
     dump = os.path.join(args.results_dir, "pred_tgt.txt") if args.results_dir else None
-    loss, wer = trainer.evaluate(split, dump_path=dump)
-    print(json.dumps({"split": args.split, "loss": loss, "wer": 100 * wer}))
+    # one inference pass: the heatmap reuses evaluate's decodes (the round-2
+    # CLI ran generate_labels on top — a second full forward over the split)
+    loss, wer, refs, hyps = trainer.evaluate(
+        split, dump_path=dump, decode=args.decode, return_texts=True
+    )
+    print(json.dumps({"split": args.split, "loss": loss, "wer": 100 * wer,
+                      "decode": args.decode}))
     if args.heatmap and args.results_dir:
         from nn_conformer_for_speech_recognition_tpu.train.evals import confusion_heatmap
 
         labels = [t for t in vocab.tokens[3:]]
-        refs, hyps = [], []
-        preds = trainer.generate_labels(split)
-        for i, u in enumerate(split.utterances):
-            refs.append(u.transcript)
-            hyps.append(preds.get(i, ""))
         confusion_heatmap(refs, hyps, labels,
                           os.path.join(args.results_dir, "confusion.png"))
         confusion_heatmap(refs, hyps, labels,
@@ -191,9 +212,21 @@ def cmd_nst(args) -> int:
         train_epochs_per_generation=args.gen_epochs,
         max_target_len=args.max_target_len,
     )
+    manager = None
+    if getattr(args, "checkpoint_dir", None):
+        from nn_conformer_for_speech_recognition_tpu.train.checkpoint import (
+            CheckpointManager,
+        )
+
+        manager = CheckpointManager(args.checkpoint_dir)
+    if getattr(args, "resume", False) and manager is None:
+        print("--resume requires --checkpoint-dir", file=sys.stderr)
+        return 2
     results = run_nst(trainer, datasets["train"], datasets["unlabeled"], nst_cfg,
                       val_dataset=datasets.get("validation"),
-                      work_dir=args.work_dir)
+                      work_dir=args.work_dir,
+                      checkpoint_manager=manager,
+                      resume=getattr(args, "resume", False))
     print(json.dumps([dataclasses.asdict(r) for r in results]))
     return 0
 
@@ -289,6 +322,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--plots", default=None)
     sp.add_argument("--checkpoint-dir", default=None,
                     help="write rotating per-epoch checkpoints here")
+    sp.add_argument("--checkpoint-every-steps", type=int, default=0,
+                    help="also write mid-epoch checkpoints with a resume "
+                         "cursor every N steps")
+    sp.add_argument("--resume", action="store_true",
+                    help="resume from the newest checkpoint in "
+                         "--checkpoint-dir (incl. mid-epoch cursors)")
     sp.add_argument("--train-wer", action="store_true",
                     help="log per-epoch train WER (reference runner.py:149-160)")
     sp.set_defaults(fn=cmd_train)
@@ -299,6 +338,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--split", default="test")
     sp.add_argument("--results-dir", default=None)
     sp.add_argument("--heatmap", action="store_true")
+    sp.add_argument("--decode", default="greedy", choices=["greedy", "beam"],
+                    help="beam = on-device vectorized CTC prefix beam search")
+    sp.add_argument("--beam", type=int, default=8)
+    sp.add_argument("--prune", type=int, default=16,
+                    help="per-frame candidate tokens considered by the beam")
+    sp.add_argument("--max-label-len", type=int, default=64)
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("nst", help="noisy student training generations")
@@ -308,6 +353,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--generations", type=int, default=3)
     sp.add_argument("--gen-epochs", type=int, default=1)
     sp.add_argument("--work-dir", default="nst_work")
+    sp.add_argument("--checkpoint-dir", default=None,
+                    help="checkpoint every retrain epoch (and every "
+                         "--checkpoint-every-steps steps) for NST resume")
+    sp.add_argument("--checkpoint-every-steps", type=int, default=0)
+    sp.add_argument("--resume", action="store_true",
+                    help="resume a killed NST run exactly (mid-finetune, "
+                         "mid-generation, or at a generation boundary)")
     sp.set_defaults(fn=cmd_nst)
 
     sp = sub.add_parser("pretrain", help="wav2vec-style contrastive pretraining")

@@ -317,6 +317,11 @@ class TrainConfig:
     # reference logs this per batch, `runner.py:149-160`); costs an in-graph
     # argmax+collapse per step plus an ids pull at epoch end.
     train_wer: bool = False
+    # CTC prefix beam search knobs (Trainer.evaluate(decode='beam') and the
+    # CLI's `eval --decode beam --beam N --prune K`; BASELINE.json configs[2])
+    beam: int = 8
+    prune: int = 16
+    max_label_len: int = 64
 
 
 @_frozen

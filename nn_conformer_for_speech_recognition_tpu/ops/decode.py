@@ -89,7 +89,14 @@ def _beam_step(state: BeamState, inputs, *, beam: int, prune: int):
     onehot = (state.last[:, None] == jnp.arange(logp.shape[0])[None, :]).astype(
         logp.dtype
     )
-    lp_last = jnp.where(state.last >= 0, onehot @ logp, NEG_INF)
+    # HIGHEST precision: default f32 matmul rounds inputs to bf16 on TPU,
+    # perturbing the repeat-of-last log-prob every frame (can flip beam
+    # rankings on near-ties; CPU parity tests would never see it).  Same
+    # contraction as ops/ctc.py's emit matmul, same precision requirement.
+    lp_last = jnp.einsum(
+        "bv,v->b", onehot, logp, precision=jax.lax.Precision.HIGHEST
+    )
+    lp_last = jnp.where(state.last >= 0, lp_last, NEG_INF)
     return _beam_step_core(
         state, tok_lp, tok_ids, lp_blank, lp_last, active, beam=beam, prune=prune
     )
@@ -355,7 +362,17 @@ def ctc_beam_search_sharded(
             onehot = (
                 state.last[:, None] == local_ids[None, :]
             ).astype(lp_loc_t.dtype)  # (beam, Vl)
-            lp_last = jax.lax.psum(onehot @ lp_loc_t, axis)
+            # HIGHEST precision to stay bit-identical with the dense path
+            # (default TPU matmul precision rounds inputs to bf16).
+            lp_last = jax.lax.psum(
+                jnp.einsum(
+                    "bv,v->b",
+                    onehot,
+                    lp_loc_t,
+                    precision=jax.lax.Precision.HIGHEST,
+                ),
+                axis,
+            )
             lp_last = jnp.where(state.last >= 0, lp_last, NEG_INF)
             return _beam_step_core(
                 state, tlp, tid, lpb, lp_last, act, beam=beam, prune=prune

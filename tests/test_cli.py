@@ -65,6 +65,55 @@ def test_cli_train_eval_roundtrip(manifest_dir, tmp_path, capsys):
     assert res["split"] == "test" and "wer" in res
 
 
+def test_cli_eval_beam_decode(manifest_dir, tmp_path, capsys):
+    """`eval --decode beam --beam N --prune K` runs the on-device CTC prefix
+    beam search from the CLI (VERDICT r2 missing #3; BASELINE configs[2])."""
+    rc = main([
+        "eval", "--manifest-dir", manifest_dir, "--model", "reference",
+        "--compute-dtype", "float32", "--batch-size", "8", "--n-mels", "40",
+        "--max-target-len", "4", "--split", "test",
+        "--decode", "beam", "--beam", "4", "--prune", "4",
+        "--max-label-len", "8",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["decode"] == "beam" and "wer" in res
+
+
+def test_cli_train_resume(manifest_dir, tmp_path, capsys):
+    """`train --resume --checkpoint-dir D` continues from the newest
+    checkpoint: a 1-epoch run + a resumed 2-epoch run end at the same step
+    count as an uninterrupted 2-epoch run."""
+    ckdir = str(tmp_path / "ckpts")
+    common = [
+        "--manifest-dir", manifest_dir, "--model", "reference",
+        "--compute-dtype", "float32", "--batch-size", "8",
+        "--lr", "1e-4", "--no-specaugment", "--n-mels", "40",
+        "--max-target-len", "4", "--checkpoint-dir", ckdir,
+    ]
+    rc = main(["train", *common, "--epochs", "1"])
+    assert rc == 0
+    save = str(tmp_path / "resumed")
+    rc = main(["train", *common, "--epochs", "2", "--resume", "--save", save])
+    assert rc == 0
+    assert os.path.exists(save)
+    # the resumed run trained exactly 1 more epoch (8 utts / batch 8 = 1
+    # step/epoch → final step == 2)
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ck:
+        step = int(ck.restore(os.path.join(save))["step"])
+    assert step == 2
+
+    rc = main(["train", *common, "--epochs", "2", "--resume"])
+    assert rc == 0  # fully-trained: resume is a no-op, not an error
+
+    rc = main(["train", "--manifest-dir", manifest_dir, "--model", "reference",
+               "--batch-size", "8", "--max-target-len", "4", "--epochs", "1",
+               "--resume"])
+    assert rc == 2  # --resume without --checkpoint-dir is a clear error
+
+
 def test_cli_parity_harness(manifest_dir, tmp_path, capsys):
     """The WER-parity harness runs the full reference protocol (supervised +
     padded-WER evals + NST generations) end-to-end on the synthetic corpus
