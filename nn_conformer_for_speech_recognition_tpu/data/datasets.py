@@ -293,6 +293,19 @@ def shard_utterances(
     return [u for i, u in enumerate(utts) if i % process_count == process_index]
 
 
+def shard_utterances_with_indices(
+    utts: Sequence[Utterance], process_index: int, process_count: int
+):
+    """Like `shard_utterances`, also returning the GLOBAL index of each local
+    utterance — pass it as ``Trainer.generate_labels(..., index_map=...)`` so
+    cross-host pseudo-label gathers (`parallel/multihost.
+    gather_pseudo_labels`) are keyed by globally-unique indices."""
+    pairs = [
+        (i, u) for i, u in enumerate(utts) if i % process_count == process_index
+    ]
+    return [u for _, u in pairs], np.asarray([i for i, _ in pairs], np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Directory-layout builders
 # ---------------------------------------------------------------------------

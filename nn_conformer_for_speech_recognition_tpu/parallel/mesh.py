@@ -84,6 +84,12 @@ def param_shardings(
 
 
 def shard_params(mesh: Mesh, params: Any, config: MeshConfig = MeshConfig()) -> Any:
+    if jax.process_count() > 1:
+        # multi-process: leaves coming out of a local `jit(model.init)` are
+        # committed to one local device; device_put to a global (partly
+        # non-addressable) sharding needs host values, which every process
+        # holds identically (same seed, same shapes)
+        params = jax.tree.map(np.asarray, params)
     return jax.device_put(params, param_shardings(mesh, params, config))
 
 

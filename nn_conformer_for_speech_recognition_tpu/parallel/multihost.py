@@ -45,14 +45,26 @@ def gather_token_batches(
     Strings cannot cross jit/process boundaries (SURVEY.md §7 "NST label
     plumbing"), so pseudo-labels travel as (N, L) int32 + (N,) lengths and
     are decoded to strings on each host after the gather.
+
+    Hosts may hold different N (uneven utterance sharding) and different L
+    (bucketed label widths): both dims are padded to the global max before
+    the allgather (shape agreement), and the padding rows are dropped after.
     """
     if not is_multihost():
         return ids, lengths
     from jax.experimental import multihost_utils
 
-    ids_g = multihost_utils.process_allgather(ids)
-    len_g = multihost_utils.process_allgather(lengths)
-    return ids_g.reshape(-1, ids.shape[-1]), len_g.reshape(-1)
+    n, l = ids.shape
+    dims = multihost_utils.process_allgather(np.asarray([n, l]))
+    n_max, l_max = int(dims[:, 0].max()), int(dims[:, 1].max())
+    ids_p = np.zeros((n_max, l_max), ids.dtype)
+    ids_p[:n, :l] = ids
+    len_p = np.full((n_max,), -1, np.int64)  # -1 marks a padding row
+    len_p[:n] = lengths
+    ids_g = multihost_utils.process_allgather(ids_p).reshape(-1, l_max)
+    len_g = multihost_utils.process_allgather(len_p).reshape(-1)
+    keep = len_g >= 0
+    return ids_g[keep], len_g[keep]
 
 
 def gather_pseudo_labels(labels: Dict[int, str]) -> Dict[int, str]:
@@ -92,3 +104,84 @@ def gather_pseudo_labels(labels: Dict[int, str]) -> Dict[int, str]:
             continue
         out[int(i)] = bytes(row[: int(nb)]).decode("utf-8", errors="ignore")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-host execution against a globally-trained state
+# ---------------------------------------------------------------------------
+
+
+def local_mesh(config=None):
+    """Mesh over THIS process's devices (for per-host eval / pseudo-label
+    passes: each host decodes its utterance shard independently, then the
+    string/metric gathers above union the results — SURVEY §3.4 boundary
+    note).  Pure DP over the local chips; the config's axis names are kept so
+    Trainer sharding helpers work unchanged."""
+    from jax.sharding import Mesh
+
+    from nn_conformer_for_speech_recognition_tpu.config import MeshConfig
+
+    config = config or MeshConfig()
+    return Mesh(
+        np.asarray(jax.local_devices()).reshape(-1, 1),
+        (config.data_axis, config.model_axis),
+    )
+
+
+def host_local_state(state):
+    """Pull a (replicated) global TrainState to host-local values so a
+    local-mesh Trainer can run per-host inference with the globally-trained
+    params.  Every leaf of a pure-DP state is fully replicated, so each
+    host's addressable shard *is* the full value — no communication."""
+    def pull(x):
+        if isinstance(x, jax.Array):
+            if not x.is_fully_addressable:
+                assert x.is_fully_replicated, (
+                    "host_local_state needs replicated leaves (pure-DP "
+                    f"state); got sharding {x.sharding}"
+                )
+                return np.asarray(x.addressable_data(0))
+            return np.asarray(x)
+        return x
+
+    import jax.numpy as jnp
+
+    rng = jax.random.wrap_key_data(
+        jnp.asarray(pull(jax.random.key_data(state.rng)))
+    )
+    return state.replace(
+        step=pull(state.step),
+        params=jax.tree.map(pull, state.params),
+        batch_stats=jax.tree.map(pull, state.batch_stats),
+        opt_state=jax.tree.map(pull, state.opt_state),
+        rng=rng,
+    )
+
+
+def params_fingerprint(params) -> np.ndarray:
+    """Order-stable 32-byte digest of every param leaf's exact bytes."""
+    import hashlib
+
+    h = hashlib.sha256()
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        h.update("/".join(str(k) for k in path).encode())
+        arr = leaf
+        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+            arr = arr.addressable_data(0)
+        h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
+    return np.frombuffer(h.digest(), np.uint8)
+
+
+def assert_params_in_sync(params) -> None:
+    """Cross-process assertion that every host holds bit-identical params
+    (the DP invariant; no-op single-process)."""
+    if not is_multihost():
+        return
+    from jax.experimental import multihost_utils
+
+    digests = multihost_utils.process_allgather(params_fingerprint(params))
+    if not (digests == digests[0]).all():
+        raise AssertionError(
+            f"params diverged across hosts: digests={digests.tolist()}"
+        )

@@ -512,10 +512,34 @@ class Trainer:
             feats, flens,
         )
         params = pmesh.shard_params(self.mesh, variables["params"], self.mesh_cfg)
-        batch_stats = jax.device_put(
-            variables.get("batch_stats", {}), pmesh.replicated(self.mesh)
-        )
+        batch_stats = variables.get("batch_stats", {})
+        if jax.process_count() > 1:
+            batch_stats = jax.tree.map(np.asarray, batch_stats)
+        batch_stats = jax.device_put(batch_stats, pmesh.replicated(self.mesh))
         self.state = TrainState.create(params, batch_stats, self.tx, rng)
+        if jax.process_count() > 1:
+            # multi-process SPMD: every leaf entering the jitted step must be
+            # a GLOBAL array on the trainer mesh — step/rng come out of
+            # TrainState.create committed to one local device, which would
+            # clash with the mesh-placed params inside jit
+            repl = pmesh.replicated(self.mesh)
+
+            def _globalize(x):
+                # optimizer-state leaves derived from params are already
+                # global; scalar counters (optax's jnp.zeros([])) are local
+                if isinstance(x, jax.Array) and x.is_fully_addressable:
+                    return jax.device_put(np.asarray(x), repl)
+                return x
+
+            self.state = self.state.replace(
+                step=jax.device_put(np.asarray(self.state.step), repl),
+                opt_state=jax.tree.map(_globalize, self.state.opt_state),
+                rng=jax.random.wrap_key_data(
+                    jax.device_put(
+                        np.asarray(jax.random.key_data(self.state.rng)), repl
+                    )
+                ),
+            )
         return self.state
 
     def _put(self, batch: Batch):
@@ -978,10 +1002,18 @@ class Trainer:
 
     # ------------------------------------------------------------- NST labels
 
-    def generate_labels(self, dataset: BucketedDataset) -> Dict[int, str]:
+    def generate_labels(
+        self, dataset: BucketedDataset, index_map=None
+    ) -> Dict[int, str]:
         """Greedy-decode pseudo-labels for every utterance (NST U-split pass,
         `runner.py:253-281`).  Device-side decode; strings materialise on host
-        only at the end (SURVEY.md §7 "NST label plumbing")."""
+        only at the end (SURVEY.md §7 "NST label plumbing").
+
+        ``index_map`` (local→global index array) keys the returned dict by
+        GLOBAL utterance index — required when ``dataset`` is this host's
+        shard of a larger corpus (`data/datasets.shard_utterances_with_
+        indices`), so the cross-host `gather_pseudo_labels` union is keyed
+        consistently on every host."""
         assert self.state is not None
         labels: Dict[int, str] = {}
         for batch in dataset.epoch(shuffle=False):
@@ -991,7 +1023,8 @@ class Trainer:
             for row, idx in enumerate(batch.indices):
                 if idx < 0:
                     continue
-                labels[int(idx)] = self.vocab.decode_ids(ids[row])
+                key = int(idx) if index_map is None else int(index_map[int(idx)])
+                labels[key] = self.vocab.decode_ids(ids[row])
         from nn_conformer_for_speech_recognition_tpu.parallel import multihost as MH
 
         return MH.gather_pseudo_labels(labels)
