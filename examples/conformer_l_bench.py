@@ -1,0 +1,187 @@
+"""Conformer-L flagship measurement on the real TPU chip (VERDICT r2 #5/#4).
+
+BASELINE.json configs[4] is Conformer-L (~100M params); until now the only L
+datapoint was a single-sample dtype-crossover note ("bf16 −11%") that was
+never investigated.  This bench measures, subprocess-isolated (fresh process
+per sample — docs/STATUS.md env fact 8) with N samples per variant:
+
+  l_f32        Pallas stack (flash attn fwd+bwd, fused CTC) + remat, f32
+  l_bf16       same, bf16 compute
+  l_xla_bf16   XLA einsum attention + scan CTC, bf16, no remat
+               (isolates whether any bf16 regression lives in the kernels)
+
+plus a max-length probe: longest 30s-multiple clip length that fits
+fwd+bwd at B=16 with remat+flash-backward (the O(T)-memory headline).
+
+Writes results/conformer_l_tpu.json: median/min/max ms/step, audio-s/s, MFU
+(197 TFLOP/s bf16 peak — v5e has no native f32 MXU mode, so f32 MFU is
+reported against the same peak), and the max-T result.
+
+Run: PYTHONPATH=/root/repo python examples/conformer_l_bench.py
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+SR = 16000
+B = 16
+V = 1024
+L = 100
+ITERS = 20
+SAMPLES = 3
+
+VARIANTS = {
+    "l_f32": dict(use_pallas=True, remat=True, ctc="pallas", dtype="float32"),
+    "l_bf16": dict(use_pallas=True, remat=True, ctc="pallas", dtype="bfloat16"),
+    "l_xla_bf16": dict(use_pallas=False, remat=False, ctc="xla", dtype="bfloat16"),
+}
+
+
+def run_variant(key: str, seconds: float) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import nn_conformer_for_speech_recognition_tpu as pkg
+
+    pkg.ensure_backend()
+
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.data.vocab import WordVocab
+    from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
+    from nn_conformer_for_speech_recognition_tpu.ops.features import (
+        log_mel_spectrogram,
+    )
+    from nn_conformer_for_speech_recognition_tpu.train.loop import (
+        make_augment_step,
+        make_feature_train_step,
+    )
+    from nn_conformer_for_speech_recognition_tpu.train.optim import make_optimizer
+    from nn_conformer_for_speech_recognition_tpu.train.state import TrainState
+    from nn_conformer_for_speech_recognition_tpu.utils.flops import (
+        TPU_V5E_PEAK_FLOPS,
+        train_step_flops,
+    )
+
+    v = VARIANTS[key]
+    feat_cfg = C.FeatureConfig()
+    mcfg = C.conformer_l(use_pallas=v["use_pallas"], remat=v["remat"],
+                         compute_dtype=v["dtype"])
+    vocab = WordVocab(["<blank>", "<pad>", "<unk>"] + [f"w{i}" for i in range(V - 3)])
+    model = ConformerCTC(mcfg, vocab_size=len(vocab))
+
+    rng = np.random.default_rng(0)
+    n_samp = int(seconds * SR)
+    audio = jnp.asarray(rng.standard_normal((B, n_samp)).astype(np.float32) * 0.1)
+    alen = jnp.full((B,), n_samp, jnp.int32)
+    targets = jnp.asarray(rng.integers(3, len(vocab), size=(B, L)).astype(np.int32))
+    tlen = jnp.full((B,), L, jnp.int32)
+
+    feats, flens = log_mel_spectrogram(audio, feat_cfg, alen)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, feats, flens
+    )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    state = TrainState.create(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(C.OptimizerConfig(learning_rate=2e-5)),
+        rng=jax.random.key(0),
+    )
+    aug = jax.jit(make_augment_step(feat_cfg, C.SpecAugmentConfig(),
+                                    use_specaugment=True))
+    core = jax.jit(make_feature_train_step(model, vocab.blank_id, ctc_impl=v["ctc"]),
+                   donate_argnums=(0,))
+
+    def step(state, audio, alen, targets, tlen):
+        f, fl = aug(state.rng, audio, alen)
+        return core(state, f, fl, targets, tlen)
+
+    t0 = time.time()
+    state, metrics = step(state, audio, alen, targets, tlen)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, audio, alen, targets, tlen)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / ITERS
+
+    frames = feat_cfg.num_frames(n_samp)
+    flops = train_step_flops(mcfg, len(vocab), B, frames)
+    print(json.dumps({
+        "ms_per_step": dt * 1e3,
+        "audio_s_per_s": B * seconds / dt,
+        "mfu": flops / dt / TPU_V5E_PEAK_FLOPS,
+        "compile_s": round(compile_s, 1),
+        "n_params": n_params,
+        "loss": float(metrics["loss"]),
+    }), flush=True)
+
+
+def main():
+    import numpy as np
+
+    out = {"model": "conformer_l", "B": B, "V": V, "L": L, "iters": ITERS,
+           "samples_per_variant": SAMPLES, "variants": {}}
+    env = dict(os.environ)
+    for key in VARIANTS:
+        samples = []
+        for s in range(SAMPLES):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--variant", key,
+                 "--seconds", "30"],
+                capture_output=True, text=True, timeout=3600, env=env,
+            )
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if p.returncode != 0 or not lines:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+                raise RuntimeError(f"variant {key} sample {s} failed")
+            samples.append(json.loads(lines[-1]))
+            print(f"{key} sample {s}: {samples[-1]['ms_per_step']:.1f} ms "
+                  f"(mfu {samples[-1]['mfu']:.3f})", flush=True)
+        ms = sorted(x["ms_per_step"] for x in samples)
+        med = float(np.median(ms))
+        out["variants"][key] = {
+            "ms_per_step_median": round(med, 2),
+            "ms_min": round(ms[0], 2), "ms_max": round(ms[-1], 2),
+            "audio_s_per_s": round(B * 30.0 / (med / 1e3), 0),
+            "mfu": round(float(np.median([x["mfu"] for x in samples])), 4),
+            "n_params": samples[0]["n_params"],
+        }
+
+    # max clip length that fits fwd+bwd at B=16, bf16 + remat + flash bwd
+    max_fit = None
+    for seconds in (30, 60, 120, 240, 480):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--variant", "l_bf16",
+             "--seconds", str(seconds)],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not lines:
+            print(f"maxfit: {seconds}s clip does NOT fit (B={B})", flush=True)
+            break
+        r = json.loads(lines[-1])
+        max_fit = {"seconds": seconds, "ms_per_step": round(r["ms_per_step"], 1),
+                   "audio_s_per_s": round(r["audio_s_per_s"], 0),
+                   "mfu": round(r["mfu"], 4)}
+        print(f"maxfit: {seconds}s fits — {max_fit}", flush=True)
+    out["max_fit_bf16_remat_B16"] = max_fit
+
+    path = pathlib.Path(__file__).resolve().parent.parent / "results" / "conformer_l_tpu.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--variant":
+        run_variant(sys.argv[2], float(sys.argv[4]) if len(sys.argv) >= 5 else 30.0)
+    else:
+        main()

@@ -1,0 +1,103 @@
+"""Settle the Pallas STFT/log-mel kernel (VERDICT r2 #4/#5).
+
+docs/STATUS.md has carried "wins expected for long-form audio" for two rounds
+without a measurement.  This bench times `make_featurizer(use_pallas=False)`
+(the fused XLA matmul-DFT path the product uses) against
+`make_featurizer(use_pallas=True)` (the fused Pallas kernel) in the kernel's
+claimed regime — long-form clips, small-to-mid batch — on the real chip,
+subprocess-isolated per (B, seconds, impl) cell (docs/STATUS.md env fact 8).
+
+Writes results/stft_settle_tpu.json with the matrix and a per-cell winner;
+the decision (wire into Trainer._featurize or retire the claim) is recorded
+in docs/STATUS.md next to the numbers.
+
+Run: PYTHONPATH=/root/repo python examples/stft_settle_bench.py
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+SR = 16000
+ITERS = 30
+CELLS = [(4, 30.0), (4, 300.0), (16, 30.0), (16, 120.0), (8, 300.0)]
+
+
+def run_cell(b: int, seconds: float, use_pallas: bool) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import nn_conformer_for_speech_recognition_tpu as pkg
+
+    pkg.ensure_backend()
+
+    from nn_conformer_for_speech_recognition_tpu import config as C
+    from nn_conformer_for_speech_recognition_tpu.ops.features import make_featurizer
+
+    feat_cfg = C.FeatureConfig()
+    fn = make_featurizer(feat_cfg, use_pallas=use_pallas)
+    rng = np.random.default_rng(0)
+    n = int(seconds * SR)
+    audio = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32) * 0.1)
+    alen = jnp.full((b,), n, jnp.int32)
+
+    t0 = time.time()
+    feats, fl = fn(audio, alen)
+    jax.block_until_ready(feats)
+    compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        feats, fl = fn(audio, alen)
+    jax.block_until_ready(feats)
+    dt = (time.perf_counter() - t0) / ITERS
+    print(json.dumps({
+        "ms": dt * 1e3,
+        "audio_s_per_s": b * seconds / dt,
+        "compile_s": round(compile_s, 1),
+        "out_shape": list(feats.shape),
+    }), flush=True)
+
+
+def main():
+    out = {"iters": ITERS, "cells": []}
+    env = dict(os.environ)
+    for b, seconds in CELLS:
+        row = {"B": b, "seconds": seconds}
+        for impl, flag in (("xla", "0"), ("pallas", "1")):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cell",
+                 str(b), str(seconds), flag],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if p.returncode != 0 or not lines:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+                row[impl] = {"error": f"rc={p.returncode}"}
+                continue
+            row[impl] = json.loads(lines[-1])
+        if "ms" in row.get("xla", {}) and "ms" in row.get("pallas", {}):
+            row["pallas_speedup"] = round(row["xla"]["ms"] / row["pallas"]["ms"], 3)
+            row["winner"] = "pallas" if row["pallas_speedup"] > 1.0 else "xla"
+        print(row, flush=True)
+        out["cells"].append(row)
+
+    wins = [c for c in out["cells"] if c.get("winner") == "pallas"]
+    out["verdict"] = (
+        f"pallas wins {len(wins)}/{len(out['cells'])} cells"
+    )
+    path = pathlib.Path(__file__).resolve().parent.parent / "results" / "stft_settle_tpu.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 5 and sys.argv[1] == "--cell":
+        run_cell(int(sys.argv[2]), float(sys.argv[3]), sys.argv[4] == "1")
+    else:
+        main()
