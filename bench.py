@@ -59,6 +59,12 @@ def run_worker():
     import nn_conformer_for_speech_recognition_tpu as pkg
 
     pkg.ensure_backend()  # survive a stale JAX_PLATFORMS pin (docs/STATUS.md)
+    if jax.default_backend() not in ("tpu", "axon"):
+        # A silent CPU fallback would run Pallas in interpret mode and
+        # record meaningless numbers as a TPU benchmark — fail loudly.
+        raise RuntimeError(
+            f"bench requires the TPU backend, got {jax.default_backend()!r}"
+        )
 
     from nn_conformer_for_speech_recognition_tpu import config as C
     from nn_conformer_for_speech_recognition_tpu.data.vocab import WordVocab
@@ -136,12 +142,20 @@ def main():
         # fresh process per sample: leftover HBM allocations degrade XLA's
         # latency-hiding prefetch 4-5x (docs/STATUS.md env fact 8), and each
         # process re-rolls the schedule
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        if proc.returncode != 0:
+        for attempt in range(4):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            if proc.returncode == 0:
+                break
             sys.stderr.write(proc.stdout + "\n" + proc.stderr + "\n")
+            # the axon relay intermittently fails TPU discovery; the worker
+            # raises rather than silently benchmarking CPU — retry fresh
+            if "bench requires the TPU backend" in proc.stdout + proc.stderr \
+                    and attempt < 3:
+                time.sleep(60)
+                continue
             raise RuntimeError(f"bench worker {i} failed rc={proc.returncode}")
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         results.append(json.loads(line))

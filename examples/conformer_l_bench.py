@@ -69,6 +69,11 @@ def run_variant(key: str, seconds: float) -> None:
         train_step_flops,
     )
 
+    assert jax.default_backend() in ("tpu", "axon"), (
+        f"TPU benchmark fell back to {jax.default_backend()!r} — the Pallas "
+        "kernels would silently run in interpret mode and the numbers would "
+        "be meaningless. Fix the tunnel (JAX_PLATFORMS='') and re-run."
+    )
     v = VARIANTS[key]
     feat_cfg = C.FeatureConfig()
     mcfg = C.conformer_l(use_pallas=v["use_pallas"], remat=v["remat"],
@@ -125,6 +130,28 @@ def run_variant(key: str, seconds: float) -> None:
     }), flush=True)
 
 
+def _run_sample(argv, env, what, tries=4):
+    """Run one fresh-process sample, retrying transient tunnel-discovery
+    flakes (the axon relay intermittently fails TPU discovery and the worker
+    asserts out rather than silently benchmarking interpret-mode CPU)."""
+    for attempt in range(tries):
+        p = subprocess.run(
+            [sys.executable, *argv],
+            capture_output=True, text=True, timeout=5400, env=env,
+        )
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if p.returncode == 0 and lines:
+            return json.loads(lines[-1])
+        flake = "fell back to" in (p.stdout + p.stderr)
+        sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+        if flake and attempt < tries - 1:
+            print(f"{what}: tunnel flake, retrying in 60 s "
+                  f"({attempt + 1}/{tries})", flush=True)
+            time.sleep(60)
+            continue
+        raise RuntimeError(f"{what} failed rc={p.returncode}")
+
+
 def main():
     import numpy as np
 
@@ -134,16 +161,9 @@ def main():
     for key in VARIANTS:
         samples = []
         for s in range(SAMPLES):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--variant", key,
-                 "--seconds", "30"],
-                capture_output=True, text=True, timeout=3600, env=env,
-            )
-            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-            if p.returncode != 0 or not lines:
-                sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
-                raise RuntimeError(f"variant {key} sample {s} failed")
-            samples.append(json.loads(lines[-1]))
+            samples.append(_run_sample(
+                [os.path.abspath(__file__), "--variant", key, "--seconds", "30"],
+                env, f"variant {key} sample {s}"))
             print(f"{key} sample {s}: {samples[-1]['ms_per_step']:.1f} ms "
                   f"(mfu {samples[-1]['mfu']:.3f})", flush=True)
         ms = sorted(x["ms_per_step"] for x in samples)
@@ -159,16 +179,14 @@ def main():
     # max clip length that fits fwd+bwd at B=16, bf16 + remat + flash bwd
     max_fit = None
     for seconds in (30, 60, 120, 240, 480):
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--variant", "l_bf16",
-             "--seconds", str(seconds)],
-            capture_output=True, text=True, timeout=3600, env=env,
-        )
-        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-        if p.returncode != 0 or not lines:
+        try:
+            r = _run_sample(
+                [os.path.abspath(__file__), "--variant", "l_bf16",
+                 "--seconds", str(seconds)],
+                env, f"maxfit {seconds}s")
+        except RuntimeError:
             print(f"maxfit: {seconds}s clip does NOT fit (B={B})", flush=True)
             break
-        r = json.loads(lines[-1])
         max_fit = {"seconds": seconds, "ms_per_step": round(r["ms_per_step"], 1),
                    "audio_s_per_s": round(r["audio_s_per_s"], 0),
                    "mfu": round(r["mfu"], 4)}

@@ -40,6 +40,10 @@ def run_cell(b: int, seconds: float, use_pallas: bool) -> None:
     from nn_conformer_for_speech_recognition_tpu import config as C
     from nn_conformer_for_speech_recognition_tpu.ops.features import make_featurizer
 
+    assert jax.default_backend() in ("tpu", "axon"), (
+        f"TPU benchmark fell back to {jax.default_backend()!r} — interpret-"
+        "mode Pallas numbers would be meaningless. Fix the tunnel and re-run."
+    )
     feat_cfg = C.FeatureConfig()
     fn = make_featurizer(feat_cfg, use_pallas=use_pallas)
     rng = np.random.default_rng(0)
@@ -70,17 +74,24 @@ def main():
     for b, seconds in CELLS:
         row = {"B": b, "seconds": seconds}
         for impl, flag in (("xla", "0"), ("pallas", "1")):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cell",
-                 str(b), str(seconds), flag],
-                capture_output=True, text=True, timeout=1800, env=env,
-            )
-            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-            if p.returncode != 0 or not lines:
+            for attempt in range(4):
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--cell",
+                     str(b), str(seconds), flag],
+                    capture_output=True, text=True, timeout=1800, env=env,
+                )
+                lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+                if p.returncode == 0 and lines:
+                    row[impl] = json.loads(lines[-1])
+                    break
                 sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+                # transient axon-relay discovery flake: worker asserts out
+                # instead of benchmarking interpret-mode CPU — retry fresh
+                if "fell back to" in (p.stdout + p.stderr) and attempt < 3:
+                    time.sleep(60)
+                    continue
                 row[impl] = {"error": f"rc={p.returncode}"}
-                continue
-            row[impl] = json.loads(lines[-1])
+                break
         if "ms" in row.get("xla", {}) and "ms" in row.get("pallas", {}):
             row["pallas_speedup"] = round(row["xla"]["ms"] / row["pallas"]["ms"], 3)
             row["winner"] = "pallas" if row["pallas_speedup"] > 1.0 else "xla"

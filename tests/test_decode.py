@@ -106,7 +106,7 @@ def test_sharded_beam_matches_dense(rng):
     import jax
     import numpy as np
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from nn_conformer_for_speech_recognition_tpu.ops.decode import (
         ctc_beam_search,
@@ -131,7 +131,7 @@ def test_sharded_beam_matches_dense(rng):
         mesh=mesh,
         in_specs=(P(None, None, "model"), P(None)),
         out_specs=(P(None), P(None), P(None)),
-        check_rep=False,
+        check_vma=False,
     )
     toks_s, lens_s, scores_s = jax.jit(f)(lp, lens)
 
