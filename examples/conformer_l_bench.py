@@ -17,7 +17,7 @@ Writes results/conformer_l_tpu.json: median/min/max ms/step, audio-s/s, MFU
 (197 TFLOP/s bf16 peak — v5e has no native f32 MXU mode, so f32 MFU is
 reported against the same peak), and the max-T result.
 
-Run: PYTHONPATH=/root/repo python examples/conformer_l_bench.py
+Run: python examples/conformer_l_bench.py
 """
 
 import json
@@ -131,9 +131,12 @@ def run_variant(key: str, seconds: float) -> None:
 
 
 def _run_sample(argv, env, what, tries=4):
-    """Run one fresh-process sample, retrying transient tunnel-discovery
-    flakes (the axon relay intermittently fails TPU discovery and the worker
-    asserts out rather than silently benchmarking interpret-mode CPU)."""
+    """Run one fresh-process sample, retrying backend-fallback failures.
+
+    The common cause is environmental (a clobbered PYTHONPATH drops the
+    axon plugin — docs/STATUS.md env fact 9); the worker asserts out
+    rather than silently benchmarking interpret-mode CPU, and the retry
+    covers genuinely transient tunnel hiccups."""
     for attempt in range(tries):
         p = subprocess.run(
             [sys.executable, *argv],

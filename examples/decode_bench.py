@@ -6,7 +6,7 @@ This measures its cost per audio-second against greedy decode at NST
 pseudo-labeling shapes, deciding whether a Pallas beam kernel (SURVEY.md §7
 build order, last item) is worth building.
 
-Run: PYTHONPATH=/root/repo python examples/decode_bench.py
+Run: python examples/decode_bench.py
 Writes results/decode_tpu.json.
 """
 

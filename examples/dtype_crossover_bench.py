@@ -6,7 +6,7 @@ sweeps model size × clip length × dtype on the full train step so the
 crossover point is measured, not guessed; results drive the
 `compute_dtype` guidance in config.py docstrings.
 
-Run: PYTHONPATH=/root/repo python examples/dtype_crossover_bench.py
+Run: python examples/dtype_crossover_bench.py
 Writes results/dtype_crossover_tpu.json.
 """
 

@@ -9,7 +9,7 @@ docs/STATUS.md env fact 8):
   maxt   — largest T that fits HBM for fwd+bwd with each backward, bisecting
            upward; demonstrates the O(T) vs O(T²) training-memory claim.
 
-Run: JAX_PLATFORMS='' PYTHONPATH=/root/repo python examples/flashbwd_tpu_check.py <phase>
+Run: JAX_PLATFORMS='' python examples/flashbwd_tpu_check.py <phase>
 """
 
 import functools

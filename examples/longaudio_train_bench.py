@@ -10,7 +10,7 @@ attention and per-block remat pay off.  Variants:
   pallas+remat+plctc — same plus the fused Pallas CTC kernel
 
 Writes results/longaudio_train_tpu.json and prints one line per variant.
-Run: PYTHONPATH=/root/repo python examples/longaudio_train_bench.py
+Run: python examples/longaudio_train_bench.py
 """
 
 import json

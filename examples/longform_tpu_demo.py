@@ -6,7 +6,7 @@ words, ~2-4 s), a BPE word-piece vocabulary with CTC-collapse decoding,
 on-device vectorized beam search, and one NST generation with beam-decoded
 multi-token pseudo-labels.  Data is device-resident (corpus uploaded once).
 
-Run: PYTHONPATH=/root/repo python examples/longform_tpu_demo.py
+Run: python examples/longform_tpu_demo.py
 """
 
 import json

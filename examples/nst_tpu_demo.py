@@ -11,7 +11,7 @@ eval / pseudo-label batch is indexed on-device (jnp.take), and NST dataset
 mixing is an index-set concat + a tiny pseudo-label upload — relevant when
 host->device bandwidth is the constraint (e.g. tunneled TPU setups).
 
-Run: PYTHONPATH=/root/repo python examples/nst_tpu_demo.py
+Run: python examples/nst_tpu_demo.py
 """
 import json, time, numpy as np, jax, jax.numpy as jnp, sys, dataclasses
 

@@ -11,7 +11,7 @@ Writes results/stft_settle_tpu.json with the matrix and a per-cell winner;
 the decision (wire into Trainer._featurize or retire the claim) is recorded
 in docs/STATUS.md next to the numbers.
 
-Run: PYTHONPATH=/root/repo python examples/stft_settle_bench.py
+Run: python examples/stft_settle_bench.py
 """
 
 import json
