@@ -1,30 +1,39 @@
 """Benchmark: compute-bound training throughput + MFU on real TPU hardware.
 
-Headline config (VERDICT round-1 item 3 — a compute-bound measurement, not a
-dispatch-bound toy): Conformer-M (16 blocks, d=256), 30-second utterances,
-B=16, V=1024 word-piece-sized vocab, bf16 compute, Pallas kernels (flash
-rel-pos attention fwd+bwd, fused CTC, fused BiLSTM), per-block remat — the
-long-form regime where the MXU is actually loaded.  The step is the FULL
-pipeline: on-device log-mel featurization + SpecAugment + fwd/bwd +
-Adafactor update.
+Headline config: Conformer-M (16 blocks, d=256), 30-second utterances,
+B=16, V=1024 word-piece-sized vocab, bf16 compute, Pallas kernels, per-block
+remat.  The step is the FULL pipeline: on-device log-mel featurization +
+SpecAugment + fwd/bwd + Adafactor update.
+
+Timing protocol (VERDICT round-3 item 1 — the scan/value-fetch protocol from
+``examples/timing_audit.py``; the previous ``block_until_ready`` host loop
+measured DISPATCH rate, not compute, because block_until_ready can return
+before remote execution completes on the axon tunnel — it reported 6.9 ms
+for a step whose true device cost is ~69 ms):
+
+  1. The full train step is wrapped in ONE jitted ``lax.scan`` of length N —
+     all N steps execute device-side with no host round-trips.
+  2. The timing barrier is a VALUE FETCH of the final loss scalar
+     (``float(...)``): a value cannot be materialized on host before the
+     device produced it.
+  3. ms/step = marginal cost (t(N2) - t(N1)) / (N2 - N1): dispatch overhead
+     and the scalar-fetch latency are identical in both and cancel.
 
 Statistical protocol (VERDICT round-2 item 3): XLA's schedule is
-nondeterministic across processes on this TPU (docs/STATUS.md env fact 8 —
-the identical program compiled in different processes lands fast or slow
-schedules, a ~15% spread), so a single-sample headline is not a benchmark.
-``main`` re-executes itself in ``BENCH_SAMPLES`` (default 5) FRESH
-subprocesses — each gets its own process, empty HBM, and schedule roll — and
-reports the MEDIAN with min/max.  The persistent compile cache makes samples
-after the first cheap; Mosaic programs miss the cache, so every sample still
-re-rolls the schedule dice the way real runs do.
+nondeterministic across processes on this TPU (docs/STATUS.md env fact 8),
+so ``main`` re-executes itself in ``BENCH_SAMPLES`` (default 5) FRESH
+subprocesses and reports the MEDIAN with min/max.
+
+Regression gate (VERDICT round-3 item 9): ``results/perf_pin.json`` pins the
+scan-protocol ms/step for this config; a median >25% above the pin prints
+the JSON line, then exits 1 with a loud stderr message.
 
 Reported fields:
   value/unit     audio-seconds of speech trained per wall-clock second
-                 (median across samples)
+                 (median across samples, device-side scan protocol)
   mfu            analytic model FLOPs/step ÷ median step time ÷ 197 TFLOP/s
                  (TPU v5e bf16 peak; `utils/flops.py` — remat recompute not
                  credited, so the number is conservative)
-  ms_per_step / ms_min / ms_max / samples   the distribution
   vs_baseline    against the reference's 123 audio-s/s host featurization
                  loop (`main.ipynb` cell 33, BASELINE.md) — its pipeline
                  bound, since it featurizes every clip on host before the
@@ -37,6 +46,7 @@ Prints exactly one JSON line.
 
 import json
 import os
+import pathlib
 import subprocess
 import sys
 import time
@@ -49,19 +59,33 @@ BATCH = 16
 SECONDS = 30.0
 VOCAB = 1024
 TARGET_LEN = 100
+N1, N2 = 10, 50
+REPEATS = 3
+
+PIN_PATH = pathlib.Path(__file__).resolve().parent / "results" / "perf_pin.json"
 
 
 def run_worker():
-    """One fresh-process sample: build the trainer, time the step, print a
-    single JSON line (consumed by the parent)."""
+    """One fresh-process sample: build the step, time the scanned step with
+    the value-fetch marginal protocol, print a single JSON line."""
     import jax
+    import jax.numpy as jnp
 
     import nn_conformer_for_speech_recognition_tpu as pkg
 
     pkg.ensure_backend()  # survive a stale JAX_PLATFORMS pin (docs/STATUS.md)
     if jax.default_backend() not in ("tpu", "axon"):
         # A silent CPU fallback would run Pallas in interpret mode and
-        # record meaningless numbers as a TPU benchmark — fail loudly.
+        # record meaningless numbers as a TPU benchmark — fail loudly, and
+        # distinguish the deterministic misconfig (axon plugin dropped from
+        # PYTHONPATH, docs/STATUS.md env fact 9) from a transient tunnel
+        # flake so the parent knows whether to retry.
+        if "/root/.axon_site" not in os.environ.get("PYTHONPATH", ""):
+            raise RuntimeError(
+                "bench misconfigured: axon plugin path not on PYTHONPATH "
+                "(deterministic, do not retry) — use "
+                "PYTHONPATH=/root/repo:$PYTHONPATH or no override at all"
+            )
         raise RuntimeError(
             f"bench requires the TPU backend, got {jax.default_backend()!r}"
         )
@@ -69,8 +93,15 @@ def run_worker():
     from nn_conformer_for_speech_recognition_tpu import config as C
     from nn_conformer_for_speech_recognition_tpu.data.vocab import WordVocab
     from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
-    from nn_conformer_for_speech_recognition_tpu.parallel import mesh as pmesh
-    from nn_conformer_for_speech_recognition_tpu.train.loop import Trainer
+    from nn_conformer_for_speech_recognition_tpu.ops.features import (
+        log_mel_spectrogram,
+    )
+    from nn_conformer_for_speech_recognition_tpu.train.loop import (
+        make_augment_step,
+        make_feature_train_step,
+    )
+    from nn_conformer_for_speech_recognition_tpu.train.optim import make_optimizer
+    from nn_conformer_for_speech_recognition_tpu.train.state import TrainState
     from nn_conformer_for_speech_recognition_tpu.utils.flops import (
         TPU_V5E_PEAK_FLOPS,
         train_step_flops,
@@ -78,53 +109,76 @@ def run_worker():
 
     feat_cfg = C.FeatureConfig()
     mcfg = C.conformer_m(
-        compute_dtype="bfloat16",  # +42% over f32 for M/30s (docs/STATUS.md)
-        use_pallas=jax.default_backend() != "cpu",
+        compute_dtype="bfloat16",
+        use_pallas=True,
         remat=True,
     )
     vocab = WordVocab(
         ["<blank>", "<pad>", "<unk>"] + [f"w{i}" for i in range(VOCAB - 3)]
     )
-    train_cfg = C.TrainConfig(
-        batch_size=BATCH,
-        optimizer=C.OptimizerConfig(learning_rate=2e-5),
-        use_specaugment=True,
-        donate_state=True,
-        ctc_impl="auto",  # fused Pallas CTC on TPU
-    )
-    mesh_cfg = C.MeshConfig()
-    mesh = pmesh.make_mesh(mesh_cfg)
     model = ConformerCTC(mcfg, vocab_size=len(vocab))
-    trainer = Trainer(model, vocab, feat_cfg, train_cfg, mesh_cfg, mesh=mesh)
-    trainer.init_state(seed=0)
 
     rng = np.random.default_rng(0)
     n_samples = int(SECONDS * feat_cfg.sample_rate)
-    audio = rng.standard_normal((BATCH, n_samples)).astype(np.float32) * 0.1
-    alen = np.full((BATCH,), n_samples, np.int32)
-    targets = rng.integers(3, len(vocab), size=(BATCH, TARGET_LEN)).astype(np.int32)
-    tlen = np.full((BATCH,), TARGET_LEN, np.int32)
-    args = pmesh.shard_batch_arrays(mesh, mesh_cfg, audio, alen, targets, tlen)
+    audio = jnp.asarray(
+        rng.standard_normal((BATCH, n_samples)).astype(np.float32) * 0.1
+    )
+    alen = jnp.full((BATCH,), n_samples, jnp.int32)
+    targets = jnp.asarray(
+        rng.integers(3, len(vocab), size=(BATCH, TARGET_LEN)).astype(np.int32)
+    )
+    tlen = jnp.full((BATCH,), TARGET_LEN, jnp.int32)
 
-    # warmup / compile
-    import jax as _jax
+    feats, flens = log_mel_spectrogram(audio, feat_cfg, alen)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, feats, flens
+    )
+    state = TrainState.create(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(C.OptimizerConfig(learning_rate=2e-5)),
+        rng=jax.random.key(0),
+    )
+    augment = make_augment_step(feat_cfg, C.SpecAugmentConfig(), True)
+    core = make_feature_train_step(model, vocab.blank_id, ctc_impl="pallas")
 
-    state = trainer.state
-    for _ in range(3):
-        state, metrics = trainer._train_step(state, *args)
-    _jax.block_until_ready(metrics["loss"])
+    def full_step(st, _):
+        f, fl = augment(st.rng, audio, alen)
+        st, metrics = core(st, f, fl, targets, tlen)
+        return st, metrics["loss"]
 
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = trainer._train_step(state, *args)
-    _jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    def make_scan(n):
+        @jax.jit
+        def scan_fn(st):
+            st, losses = jax.lax.scan(full_step, st, None, length=n)
+            return st, losses[-1]
+        return scan_fn
+
+    def timed_fetch(fn, st):
+        t0 = time.perf_counter()
+        _, last = fn(st)
+        val = float(last)  # value fetch: cannot complete before the device
+        return time.perf_counter() - t0, val
+
+    scans = {}
+    loss_val = None
+    for n in (N1, N2):
+        fn = make_scan(n)
+        timed_fetch(fn, state)  # compile + first run
+        ts = []
+        for _ in range(REPEATS):
+            dt, loss_val = timed_fetch(fn, state)
+            ts.append(dt)
+        scans[n] = min(ts)
+    marginal = (scans[N2] - scans[N1]) / (N2 - N1)
 
     frames = feat_cfg.num_frames(n_samples)
     flops = train_step_flops(mcfg, len(vocab), BATCH, frames)
     print(json.dumps({
-        "ms_per_step": dt * 1e3,
+        "ms_per_step": marginal * 1e3,
+        f"scan{N1}_s": round(scans[N1], 4),
+        f"scan{N2}_s": round(scans[N2], 4),
+        "loss": loss_val,
         "flops_per_step": flops,
         "peak_flops": TPU_V5E_PEAK_FLOPS,
     }))
@@ -139,9 +193,8 @@ def main():
     env = dict(os.environ, BENCH_WORKER="1")
     results = []
     for i in range(n_samples):
-        # fresh process per sample: leftover HBM allocations degrade XLA's
-        # latency-hiding prefetch 4-5x (docs/STATUS.md env fact 8), and each
-        # process re-rolls the schedule
+        # fresh process per sample: each re-rolls XLA's schedule
+        # nondeterminism (docs/STATUS.md env fact 8)
         for attempt in range(4):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -150,10 +203,13 @@ def main():
             if proc.returncode == 0:
                 break
             sys.stderr.write(proc.stdout + "\n" + proc.stderr + "\n")
+            err = proc.stdout + proc.stderr
+            if "deterministic, do not retry" in err:
+                raise RuntimeError("bench misconfigured (axon plugin not on "
+                                   "PYTHONPATH) — fix the environment")
             # the axon relay intermittently fails TPU discovery; the worker
             # raises rather than silently benchmarking CPU — retry fresh
-            if "bench requires the TPU backend" in proc.stdout + proc.stderr \
-                    and attempt < 3:
+            if "bench requires the TPU backend" in err and attempt < 3:
                 time.sleep(60)
                 continue
             raise RuntimeError(f"bench worker {i} failed rc={proc.returncode}")
@@ -161,7 +217,7 @@ def main():
         results.append(json.loads(line))
         sys.stderr.write(
             f"[bench] sample {i + 1}/{n_samples}: "
-            f"{results[-1]['ms_per_step']:.2f} ms/step\n"
+            f"{results[-1]['ms_per_step']:.2f} ms/step (scan-marginal)\n"
         )
 
     ms = sorted(r["ms_per_step"] for r in results)
@@ -170,10 +226,16 @@ def main():
     peak = results[0]["peak_flops"]
     dt = median_ms / 1e3
     audio_seconds_per_s = BATCH * SECONDS / dt
-    print(json.dumps({
+
+    pin = None
+    if PIN_PATH.exists():
+        pin = json.loads(PIN_PATH.read_text())
+
+    out = {
         "metric": "conformer_m_30s_train_audio_seconds_per_second",
         "value": round(audio_seconds_per_s, 1),
         "unit": "audio-s/s",
+        "protocol": "scan-marginal",
         "mfu": round(flops / dt / peak, 4),
         "ms_per_step": round(median_ms, 2),
         "ms_min": round(ms[0], 2),
@@ -181,7 +243,18 @@ def main():
         "samples": len(ms),
         "flops_per_step": flops,
         "vs_baseline": round(audio_seconds_per_s / BASELINE_AUDIO_SECONDS_PER_S, 2),
-    }))
+    }
+    if pin is not None:
+        out["pin_ms_per_step"] = pin["ms_per_step"]
+        out["vs_pin"] = round(median_ms / pin["ms_per_step"], 3)
+    print(json.dumps(out))
+    if pin is not None and median_ms > pin["ms_per_step"] * 1.25:
+        sys.stderr.write(
+            f"[bench] PERF REGRESSION: median {median_ms:.2f} ms/step is "
+            f">25% above the pinned {pin['ms_per_step']:.2f} ms/step "
+            f"({PIN_PATH})\n"
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -33,13 +33,24 @@ SR = 16000
 B = 16
 V = 1024
 L = 100
-ITERS = 20
-SAMPLES = 3
+N1, N2 = 5, 25
+REPEATS = 3
+SAMPLES = 2
 
 VARIANTS = {
-    "l_f32": dict(use_pallas=True, remat=True, ctc="pallas", dtype="float32"),
-    "l_bf16": dict(use_pallas=True, remat=True, ctc="pallas", dtype="bfloat16"),
-    "l_xla_bf16": dict(use_pallas=False, remat=False, ctc="xla", dtype="bfloat16"),
+    # round-3 pinned full-Pallas + remat constructions (continuity)
+    "l_f32": dict(ctc="pallas", dtype="float32",
+                  mk=dict(use_pallas=True, attention_impl="flash",
+                          conv_impl="pallas", remat=True)),
+    "l_bf16": dict(ctc="pallas", dtype="bfloat16",
+                   mk=dict(use_pallas=True, attention_impl="flash",
+                           conv_impl="pallas", remat=True)),
+    # round-4 shape-aware auto routing (at T=235: XLA attention/conv,
+    # Pallas LSTM + CTC), no remat
+    "l_auto_bf16": dict(ctc="pallas", dtype="bfloat16",
+                        mk=dict(use_pallas=True, remat=False)),
+    "l_xla_bf16": dict(ctc="xla", dtype="bfloat16",
+                       mk=dict(use_pallas=False, remat=False)),
 }
 
 
@@ -76,8 +87,7 @@ def run_variant(key: str, seconds: float) -> None:
     )
     v = VARIANTS[key]
     feat_cfg = C.FeatureConfig()
-    mcfg = C.conformer_l(use_pallas=v["use_pallas"], remat=v["remat"],
-                         compute_dtype=v["dtype"])
+    mcfg = C.conformer_l(compute_dtype=v["dtype"], **v["mk"])
     vocab = WordVocab(["<blank>", "<pad>", "<unk>"] + [f"w{i}" for i in range(V - 3)])
     model = ConformerCTC(mcfg, vocab_size=len(vocab))
 
@@ -99,34 +109,52 @@ def run_variant(key: str, seconds: float) -> None:
         tx=make_optimizer(C.OptimizerConfig(learning_rate=2e-5)),
         rng=jax.random.key(0),
     )
-    aug = jax.jit(make_augment_step(feat_cfg, C.SpecAugmentConfig(),
-                                    use_specaugment=True))
-    core = jax.jit(make_feature_train_step(model, vocab.blank_id, ctc_impl=v["ctc"]),
-                   donate_argnums=(0,))
+    aug = make_augment_step(feat_cfg, C.SpecAugmentConfig(),
+                            use_specaugment=True)
+    core = make_feature_train_step(model, vocab.blank_id, ctc_impl=v["ctc"])
 
-    def step(state, audio, alen, targets, tlen):
-        f, fl = aug(state.rng, audio, alen)
-        return core(state, f, fl, targets, tlen)
+    # scan/value-fetch marginal protocol (docs/STATUS.md env fact 10 — the
+    # old block_until_ready host loop measured dispatch rate, not compute)
+    def full_step(st, _):
+        f, fl = aug(st.rng, audio, alen)
+        st, metrics = core(st, f, fl, targets, tlen)
+        return st, metrics["loss"]
 
-    t0 = time.time()
-    state, metrics = step(state, audio, alen, targets, tlen)
-    jax.block_until_ready(metrics["loss"])
-    compile_s = time.time() - t0
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, audio, alen, targets, tlen)
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / ITERS
+    def make_scan(n):
+        @jax.jit
+        def scan_fn(st):
+            st, losses = jax.lax.scan(full_step, st, None, length=n)
+            return st, losses[-1]
+        return scan_fn
+
+    scans = {}
+    loss_val = None
+    compile_s = 0.0
+    for n in (N1, N2):
+        fn = make_scan(n)
+        t0 = time.time()
+        _, last = fn(state)
+        float(last)  # compile + first run, value fetch
+        compile_s += time.time() - t0
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _, last = fn(state)
+            loss_val = float(last)
+            ts.append(time.perf_counter() - t0)
+        scans[n] = min(ts)
+    dt = (scans[N2] - scans[N1]) / (N2 - N1)
 
     frames = feat_cfg.num_frames(n_samp)
     flops = train_step_flops(mcfg, len(vocab), B, frames)
     print(json.dumps({
         "ms_per_step": dt * 1e3,
+        "protocol": "scan-marginal",
         "audio_s_per_s": B * seconds / dt,
         "mfu": flops / dt / TPU_V5E_PEAK_FLOPS,
         "compile_s": round(compile_s, 1),
         "n_params": n_params,
-        "loss": float(metrics["loss"]),
+        "loss": loss_val,
     }), flush=True)
 
 
@@ -152,13 +180,18 @@ def _run_sample(argv, env, what, tries=4):
                   f"({attempt + 1}/{tries})", flush=True)
             time.sleep(60)
             continue
-        raise RuntimeError(f"{what} failed rc={p.returncode}")
+        # attach the worker output so callers can classify the failure
+        # (e.g. the maxfit probe matches an OOM signature, ADVICE r3)
+        raise RuntimeError(
+            f"{what} failed rc={p.returncode}\n"
+            + p.stdout[-4000:] + p.stderr[-4000:])
 
 
 def main():
     import numpy as np
 
-    out = {"model": "conformer_l", "B": B, "V": V, "L": L, "iters": ITERS,
+    out = {"model": "conformer_l", "B": B, "V": V, "L": L,
+           "protocol": f"scan-marginal N={N1}->{N2}",
            "samples_per_variant": SAMPLES, "variants": {}}
     env = dict(os.environ)
     for key in VARIANTS:
@@ -181,15 +214,22 @@ def main():
 
     # max clip length that fits fwd+bwd at B=16, bf16 + remat + flash bwd
     max_fit = None
+    OOM_SIGNATURES = ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+                      "OOM", "Allocator")
     for seconds in (30, 60, 120, 240, 480):
         try:
             r = _run_sample(
                 [os.path.abspath(__file__), "--variant", "l_bf16",
                  "--seconds", str(seconds)],
-                env, f"maxfit {seconds}s")
-        except RuntimeError:
-            print(f"maxfit: {seconds}s clip does NOT fit (B={B})", flush=True)
-            break
+                env, f"maxfit {seconds}s", tries=2)
+        except RuntimeError as e:
+            # only an OOM signature means "does not fit"; anything else
+            # (tunnel flake after retries, timeout) must not silently
+            # record a too-small max_fit (ADVICE r3)
+            if any(s in str(e) for s in OOM_SIGNATURES):
+                print(f"maxfit: {seconds}s clip does NOT fit (B={B})", flush=True)
+                break
+            raise
         max_fit = {"seconds": seconds, "ms_per_step": round(r["ms_per_step"], 1),
                    "audio_s_per_s": round(r["audio_s_per_s"], 0),
                    "mfu": round(r["mfu"], 4)}

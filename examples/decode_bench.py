@@ -6,7 +6,12 @@ This measures its cost per audio-second against greedy decode at NST
 pseudo-labeling shapes, deciding whether a Pallas beam kernel (SURVEY.md §7
 build order, last item) is worth building.
 
-Run: python examples/decode_bench.py
+Round 4: retimed with the scan/value-fetch marginal protocol
+(`utils/timing.scan_marginal_ms`; docs/STATUS.md env fact 10 — the previous
+version's block_until_ready host loop recorded 0.05 ms dispatch times as
+"steps").
+
+Run: JAX_PLATFORMS='' python examples/decode_bench.py
 Writes results/decode_tpu.json.
 """
 
@@ -25,6 +30,7 @@ from nn_conformer_for_speech_recognition_tpu.ops.decode import (
     ctc_beam_search,
     greedy_decode,
 )
+from nn_conformer_for_speech_recognition_tpu.utils.timing import scan_marginal_ms
 
 CASES = [
     # (name, B, T, V, beam, prune, audio_seconds_per_utt)
@@ -59,19 +65,27 @@ def pseudo_label_throughput():
         lp, ol = model.apply(vs, feats, flens, deterministic=True)
         return greedy_decode(lp, ol)
 
-    ids = predict(vs, audio, alen); jax.block_until_ready(ids)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        ids = predict(vs, audio, alen)
-    jax.block_until_ready(ids)
-    dt = (time.perf_counter() - t0) / 10
-    thr = B * SEC / dt
-    print(f"pseudo-label e2e (Conformer-M, B={B}, 30 s): {dt*1e3:.2f} ms "
+    def step(carry):
+        a = carry
+        ids = predict(vs, a, alen)
+        # chain: next iteration's audio depends on this decode's output
+        return a + jnp.sum(ids).astype(a.dtype) * 1e-12
+
+    ms, details = scan_marginal_ms(step, audio, n1=3, n2=13)
+    thr = B * SEC / (ms / 1e3)
+    print(f"pseudo-label e2e (Conformer-M, B={B}, 30 s): {ms:.2f} ms "
           f"→ {thr:.0f} audio-s/s", flush=True)
-    return {"ms": round(dt * 1e3, 2), "audio_s_per_s": round(thr, 0), "B": B}
+    return {"ms": round(ms, 2), "audio_s_per_s": round(thr, 0), "B": B,
+            **details}
 
 
 def main():
+    import nn_conformer_for_speech_recognition_tpu as pkg
+
+    pkg.ensure_backend()
+    assert jax.default_backend() in ("tpu", "axon"), (
+        f"decode bench fell back to {jax.default_backend()!r}"
+    )
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     results = {}
@@ -82,22 +96,21 @@ def main():
         )
         lens = jnp.full((b,), t, jnp.int32)
 
-        g = jax.jit(lambda x, n: greedy_decode(x, n))
-        out = g(lp, lens); jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(10):
-            out = g(lp, lens)
-        jax.block_until_ready(out)
-        dt_g = (time.perf_counter() - t0) / 10
+        def g_step(carry):
+            ids = greedy_decode(carry, lens)
+            return carry + jnp.sum(ids).astype(carry.dtype) * 1e-12
 
-        bs = lambda x, n: ctc_beam_search(x, n, blank_id=0, beam=beam, prune=prune,
-                                          max_label_len=min(t, 128))
-        toks, _, _ = bs(lp, lens); jax.block_until_ready(toks)
-        t0 = time.perf_counter()
-        for _ in range(10):
-            toks, _, _ = bs(lp, lens)
-        jax.block_until_ready(toks)
-        dt_b = (time.perf_counter() - t0) / 10
+        ms_g, _ = scan_marginal_ms(g_step, lp, n1=3, n2=13)
+        dt_g = ms_g / 1e3
+
+        def b_step(carry):
+            toks, _, _ = ctc_beam_search(carry, lens, blank_id=0, beam=beam,
+                                         prune=prune,
+                                         max_label_len=min(t, 128))
+            return carry + jnp.sum(toks).astype(carry.dtype) * 1e-12
+
+        ms_b, _ = scan_marginal_ms(b_step, lp, n1=3, n2=13)
+        dt_b = ms_b / 1e3
 
         audio_s = b * secs
         row = {
@@ -106,6 +119,7 @@ def main():
             "beam_ms": round(dt_b * 1e3, 2),
             "beam_audio_s_per_s": round(audio_s / dt_b, 0),
             "beam": beam, "prune": prune, "B": b, "T": t, "V": v,
+            "protocol": "scan-marginal",
         }
         results[name] = row
         print(f"{name:20s} greedy {dt_g*1e3:8.2f} ms ({row['greedy_audio_s_per_s']:.0f} a-s/s)  "

@@ -83,27 +83,32 @@ def parity(t=896):
 
 
 def timing(t=896, iters=20):
-    """fwd+bwd step time via a DEVICE-side scan of chained steps — host
-    dispatch and any per-call queueing effects are out of the measurement."""
+    """fwd+bwd step time under the scan/value-fetch MARGINAL protocol
+    (`utils/timing.scan_marginal_ms`).  The round-2 version scanned
+    device-side but barriered a single N with block_until_ready, which does
+    not reliably block on the tunnel (docs/STATUS.md env fact 10) — its
+    14.1 ms reading was irreconcilable with the full-step trace."""
+    from nn_conformer_for_speech_recognition_tpu.utils.timing import (
+        scan_marginal_ms,
+    )
+
     out = {}
     for name, attn in (("pallas_bwd", A.flash_attention_relpos),
                        ("xla_bwd", flash_relpos_xlabwd)):
         qu, qv, k, v, p, lengths = case(t)
 
-        def one(qu_c, _):
+        def step(qu_c):
             def f(qu_i):
                 o = attn(qu_i, qv, k, v, p, lengths, SCALE)
                 return jnp.sum(o**2)
 
             g = jax.grad(f)(qu_c)  # runs the full custom bwd
-            return qu_c - 1e-6 * g, None
+            return qu_c - 1e-6 * g
 
-        run = jax.jit(lambda q0: jax.lax.scan(one, q0, None, length=iters)[0])
-        jax.block_until_ready(run(qu))  # compile + warm
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(qu))
-        out[name] = round((time.perf_counter() - t0) / iters * 1e3, 3)
-    print(json.dumps({"phase": "time", "T": t, "ms_fwd_bwd": out}), flush=True)
+        ms, _ = scan_marginal_ms(step, qu, n1=5, n2=25)
+        out[name] = round(ms, 3)
+    print(json.dumps({"phase": "time", "T": t, "ms_fwd_bwd": out,
+                      "protocol": "scan-marginal"}), flush=True)
     return out
 
 

@@ -24,11 +24,16 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 SR = 16000
-ITERS = 30
+N1, N2 = 5, 25
+REPEATS = 3
 CELLS = [(4, 30.0), (4, 300.0), (16, 30.0), (16, 120.0), (8, 300.0)]
 
 
 def run_cell(b: int, seconds: float, use_pallas: bool) -> None:
+    """Scan/value-fetch marginal timing (docs/STATUS.md env fact 10 — the
+    old `block_until_ready` host loop measured dispatch, not compute).  The
+    scan carry perturbs the audio each iteration so XLA cannot hoist the
+    featurization out of the loop."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,25 +56,47 @@ def run_cell(b: int, seconds: float, use_pallas: bool) -> None:
     audio = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32) * 0.1)
     alen = jnp.full((b,), n, jnp.int32)
 
-    t0 = time.time()
-    feats, fl = fn(audio, alen)
-    jax.block_until_ready(feats)
-    compile_s = time.time() - t0
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        feats, fl = fn(audio, alen)
-    jax.block_until_ready(feats)
-    dt = (time.perf_counter() - t0) / ITERS
+    out_shape = None
+
+    def step(c, _):
+        feats, _fl = fn(audio + c, alen)
+        return jnp.mean(feats) * 1e-12, None
+
+    def make_scan(n_iter):
+        @jax.jit
+        def scan_fn(c0):
+            c, _ = jax.lax.scan(step, c0, None, length=n_iter)
+            return c
+        return scan_fn
+
+    c0 = jnp.float32(0.0)
+    scans = {}
+    compile_s = 0.0
+    for n_iter in (N1, N2):
+        sf = make_scan(n_iter)
+        t0 = time.time()
+        float(sf(c0))  # compile + run; value fetch
+        compile_s += time.time() - t0
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(sf(c0))
+            ts.append(time.perf_counter() - t0)
+        scans[n_iter] = min(ts)
+    dt = (scans[N2] - scans[N1]) / (N2 - N1)
+    feats, _ = fn(audio, alen)
+    out_shape = list(feats.shape)
     print(json.dumps({
         "ms": dt * 1e3,
+        "protocol": "scan-marginal",
         "audio_s_per_s": b * seconds / dt,
         "compile_s": round(compile_s, 1),
-        "out_shape": list(feats.shape),
+        "out_shape": out_shape,
     }), flush=True)
 
 
 def main():
-    out = {"iters": ITERS, "cells": []}
+    out = {"protocol": f"scan-marginal N={N1}->{N2}", "cells": []}
     env = dict(os.environ)
     for b, seconds in CELLS:
         row = {"B": b, "seconds": seconds}

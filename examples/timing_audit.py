@@ -8,7 +8,11 @@ shows the chained-host-loop + block_until_ready methodology (bench.py and
 the round-2/3 headlines) can ALSO undercount: if block_until_ready returns
 before remote execution completes, the wall clock only covers dispatch.
 
-Trustworthy protocol used here (and adopted by bench.py after this audit):
+Trustworthy protocol used here (adopted by bench.py in round 4 — its worker
+now times the same jitted-scan construction with the value-fetch marginal
+barrier; the round-2/3 headlines measured a block_until_ready host loop that
+undercounted ~10x because block_until_ready can return before remote
+execution completes on the axon tunnel):
 
   1. The full train step (augment -> core -> Adafactor) is wrapped in ONE
      jitted ``lax.scan`` of length N — all N steps execute device-side with
@@ -44,15 +48,41 @@ N1, N2 = 10, 50
 REPEATS = 3
 
 VARIANTS = {
-    # the bench.py headline config
-    "m_bf16": dict(model="m", use_pallas=True, remat=True, ctc="pallas",
-                   dtype="bfloat16"),
-    "l_f32": dict(model="l", use_pallas=True, remat=True, ctc="pallas",
-                  dtype="float32"),
-    "l_bf16": dict(model="l", use_pallas=True, remat=True, ctc="pallas",
-                   dtype="bfloat16"),
-    "l_xla_bf16": dict(model="l", use_pallas=False, remat=False, ctc="xla",
-                       dtype="bfloat16"),
+    # the round-3 headline construction: every op Pallas + remat (pinned
+    # explicitly now that ModelConfig has per-op 'auto' routing)
+    "m_bf16": dict(model="m", ctc="pallas", dtype="bfloat16",
+                   mk=dict(use_pallas=True, attention_impl="flash",
+                           conv_impl="pallas", remat=True)),
+    # round-4 candidate headline: shape-aware auto routing (at T=235 that is
+    # XLA attention + XLA depthwise + Pallas LSTM), no remat
+    "m_auto_bf16": dict(model="m", ctc="pallas", dtype="bfloat16",
+                        mk=dict(use_pallas=True, remat=False)),
+    # same, with the product's augment/core optimization_barrier fence inside
+    # the scan body (make_train_step's fused form): without it the scanned
+    # program can compile the pathological interleaved schedule (35.6 ms
+    # scan-device vs 11.2 ms two-dispatch hostloop marginal, round 4)
+    "m_auto_fence_bf16": dict(model="m", ctc="pallas", dtype="bfloat16",
+                              barrier=True,
+                              mk=dict(use_pallas=True, remat=False)),
+    # isolate the remat cost from the kernel routing
+    "m_flash_noremat_bf16": dict(model="m", ctc="pallas", dtype="bfloat16",
+                                 mk=dict(use_pallas=True,
+                                         attention_impl="flash",
+                                         conv_impl="pallas", remat=False)),
+    # everything XLA (the no-Pallas floor; fused Pallas CTC kept — measured
+    # 0.5 ms of the step)
+    "m_xla_bf16": dict(model="m", ctc="pallas", dtype="bfloat16",
+                       mk=dict(use_pallas=False, remat=False)),
+    "l_f32": dict(model="l", ctc="pallas", dtype="float32",
+                  mk=dict(use_pallas=True, attention_impl="flash",
+                          conv_impl="pallas", remat=True)),
+    "l_bf16": dict(model="l", ctc="pallas", dtype="bfloat16",
+                   mk=dict(use_pallas=True, attention_impl="flash",
+                           conv_impl="pallas", remat=True)),
+    "l_auto_bf16": dict(model="l", ctc="pallas", dtype="bfloat16",
+                        mk=dict(use_pallas=True, remat=False)),
+    "l_xla_bf16": dict(model="l", ctc="xla", dtype="bfloat16",
+                       mk=dict(use_pallas=False, remat=False)),
 }
 
 
@@ -88,8 +118,7 @@ def run_variant(key: str, seconds: float = 30.0) -> None:
     v = VARIANTS[key]
     feat_cfg = C.FeatureConfig()
     factory = C.conformer_m if v["model"] == "m" else C.conformer_l
-    mcfg = factory(use_pallas=v["use_pallas"], remat=v["remat"],
-                   compute_dtype=v["dtype"])
+    mcfg = factory(compute_dtype=v["dtype"], **v["mk"])
     vocab = WordVocab(["<blank>", "<pad>", "<unk>"] + [f"w{i}" for i in range(V - 3)])
     model = ConformerCTC(mcfg, vocab_size=len(vocab))
 
@@ -115,6 +144,10 @@ def run_variant(key: str, seconds: float = 30.0) -> None:
 
     def full_step(st, _):
         f, fl = augment(st.rng, audio, alen)
+        if v.get("barrier"):
+            # scheduling fence between augment and core (docs/STATUS.md env
+            # fact 7b / make_train_step)
+            f = jax.lax.optimization_barrier(f)
         st, metrics = core(st, f, fl, targets, tlen)
         return st, metrics["loss"]
 
@@ -244,10 +277,13 @@ def run_trainer_variant(seconds: float = 30.0) -> None:
     }), flush=True)
 
 
-def main():
+def main(keys):
     env = dict(os.environ)
-    results = []
-    for key in sys.argv[2:] or list(VARIANTS):
+    path = pathlib.Path(__file__).resolve().parent.parent / "results" / "timing_audit_tpu.json"
+    # merge into prior results keyed by variant (don't discard other variants)
+    results = {r["variant"]: r for r in json.loads(path.read_text())} \
+        if path.exists() else {}
+    for key in keys:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--variant", key],
             capture_output=True, text=True, timeout=5400, env=env,
@@ -258,21 +294,33 @@ def main():
             print(f"variant {key} FAILED", flush=True)
             continue
         r = json.loads(lines[-1])
-        results.append(r)
+        results[key] = r
         print(f"{key}: scan-device {r.get('ms_per_step_device')} ms/step "
               f"(floor {r['roofline_floor_ms']} ms) "
               f"vs hostloop {r['ms_per_step_hostloop']} ms "
               f"(marginal {r['ms_per_step_hostloop_marginal']} ms)", flush=True)
-    path = pathlib.Path(__file__).resolve().parent.parent / "results" / "timing_audit_tpu.json"
-    path.write_text(json.dumps(results, indent=1) + "\n")
+        path.write_text(json.dumps(list(results.values()), indent=1) + "\n")
     print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--variant":
-        if sys.argv[2] == "m_trainer_bf16":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default=None,
+                    help="run ONE variant inline (used by the subprocess fan-out)")
+    ap.add_argument("variants", nargs="*",
+                    help="variants to run via subprocesses (default: all)")
+    ns = ap.parse_args()
+    if ns.variant:
+        if ns.variant == "m_trainer_bf16":
             run_trainer_variant()
         else:
-            run_variant(sys.argv[2])
+            run_variant(ns.variant)
     else:
-        main()
+        bad = [k for k in ns.variants
+               if k not in VARIANTS and k != "m_trainer_bf16"]
+        if bad:
+            ap.error(f"unknown variants: {bad}; known: "
+                     f"{sorted(VARIANTS) + ['m_trainer_bf16']}")
+        main(ns.variants or list(VARIANTS))
