@@ -169,6 +169,16 @@ class DecoderConfig:
     dropout: float = 0.5
 
 
+# Sequence-length threshold for 'auto' attention impl selection: below this
+# encoder T, every Mosaic kernel invocation's ~0.45 ms fixed cost (measured
+# on v5e via the axon tunnel, results/step_trace_tpu.json — ~5 invocations x
+# 16 blocks = ~35 ms of a 69 ms step at T=235) swamps the O(T^2) memory win,
+# so the XLA einsum path (a handful of fused ops) is faster; above it the
+# einsum's materialised (B,H,T,T) scores lose on HBM traffic and, in the
+# backward, OOM around T=4096 while flash runs to T=16384.
+FLASH_ATTENTION_MIN_T = 1024
+
+
 @_frozen
 class ModelConfig:
     subsampling: SubsamplingConfig = SubsamplingConfig()
@@ -180,14 +190,53 @@ class ModelConfig:
     # Conformer-S on 1 s clips, +42% for Conformer-M on 30 s audio, within
     # run variance for Conformer-L — prefer bfloat16 for mid-size long-form.
     compute_dtype: str = "float32"
-    use_pallas: bool = False  # route hot ops through Pallas kernels
+    # Master switch: route hot ops through Pallas kernels.  Per-op selection
+    # below ('auto' = pick by shape at trace time; 'pallas'/'flash' or 'xla'
+    # force one path).  With use_pallas=False everything is XLA regardless.
+    use_pallas: bool = False
+    # 'auto' | 'flash' | 'xla' — flash = Pallas blockwise kernels with the
+    # in-kernel rel-pos band; auto switches on encoder T (see
+    # FLASH_ATTENTION_MIN_T above).
+    attention_impl: str = "auto"
+    # 'auto' | 'pallas' | 'xla' for the depthwise conv inside the conv module.
+    # auto = XLA: its fused conv_general_dilated beats the Pallas kernel's
+    # 2-invocations-per-block fixed cost at every measured shape.  NOT
+    # shape-dependent by design: the two paths parameterise differently
+    # (dw_kernel vs nn.Conv), so a shape-driven flip would silently change
+    # checkpoint param names.
+    conv_impl: str = "auto"
+    # 'auto' | 'pallas' | 'xla' for the BiLSTM head.  auto = pallas whenever
+    # Pallas is available: the fused kernel beats the XLA while at every
+    # shape measured (one kernel per direction vs T sequential op launches).
+    # Parameterisation differs across paths here too.
+    lstm_impl: str = "auto"
     # rematerialise each Conformer block in backward (jax.checkpoint): trades
     # ~1 extra forward of FLOPs for O(num_blocks) less activation HBM —
-    # enables long-form audio / big-batch training on one chip.
+    # enables long-form audio / big-batch training on one chip.  Leave off
+    # when activations fit: the recompute is pure overhead (+~20% step time
+    # at Conformer-M/30 s, results/timing_audit_tpu.json).
     remat: bool = False
 
     def subsampled_length(self, t: int) -> int:
         return self.subsampling.subsampled_length(t)
+
+    def resolved_attention_impl(self, t: int) -> str:
+        """'flash' or 'xla' for an encoder sequence length ``t``."""
+        if not self.use_pallas:
+            return "xla"
+        if self.attention_impl == "auto":
+            return "flash" if t >= FLASH_ATTENTION_MIN_T else "xla"
+        return self.attention_impl
+
+    def resolved_conv_impl(self) -> str:
+        if not self.use_pallas:
+            return "xla"
+        return "xla" if self.conv_impl == "auto" else self.conv_impl
+
+    def resolved_lstm_impl(self) -> str:
+        if not self.use_pallas:
+            return "xla"
+        return "pallas" if self.lstm_impl == "auto" else self.lstm_impl
 
 
 def conformer_s(**overrides) -> ModelConfig:

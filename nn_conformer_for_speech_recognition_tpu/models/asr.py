@@ -114,7 +114,11 @@ class ConformerCTC(nn.Module):
             cfg.subsampling, cfg.encoder.d_model, dtype=self.dtype
         )
         self.encoder = ConformerEncoder(
-            cfg.encoder, use_pallas=cfg.use_pallas, remat=cfg.remat,
+            cfg.encoder,
+            use_pallas=cfg.use_pallas,
+            attention_impl=cfg.attention_impl if cfg.use_pallas else "xla",
+            conv_impl=cfg.resolved_conv_impl(),
+            remat=cfg.remat,
             dtype=self.dtype,
         )
         self.input_dropout = nn.Dropout(cfg.encoder.dropout)
@@ -126,7 +130,7 @@ class ConformerCTC(nn.Module):
             num_layers=cfg.decoder.lstm_layers,
             bidirectional=cfg.decoder.bidirectional,
             dtype=self.dtype,
-            use_pallas=cfg.use_pallas,
+            use_pallas=cfg.resolved_lstm_impl() == "pallas",
         )
         self.decoder_dropout = nn.Dropout(cfg.decoder.dropout)
         self.final_fc = nn.Dense(self.vocab_size, dtype=jnp.float32)

@@ -23,13 +23,17 @@ TPU-specific choices:
 
 from __future__ import annotations
 
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nn_conformer_for_speech_recognition_tpu.config import ConformerConfig
+from nn_conformer_for_speech_recognition_tpu.config import (
+    FLASH_ATTENTION_MIN_T,
+    ConformerConfig,
+)
 
 NEG_INF = -1e30
 
@@ -273,7 +277,10 @@ class ConvModule(nn.Module):
 
 class ConformerBlock(nn.Module):
     config: ConformerConfig
-    use_pallas: bool = False
+    use_pallas: bool = False  # legacy master switch: forces both ops Pallas
+    # resolved per-op impls; None = fall back to ``use_pallas``
+    attention_pallas: Optional[bool] = None
+    conv_pallas: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -281,6 +288,10 @@ class ConformerBlock(nn.Module):
         self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool
     ) -> jnp.ndarray:
         cfg = self.config
+        att_pl = self.use_pallas if self.attention_pallas is None \
+            else self.attention_pallas
+        conv_pl = self.use_pallas if self.conv_pallas is None \
+            else self.conv_pallas
         x = x + 0.5 * FeedForwardModule(
             cfg.d_model, cfg.ffn_dim, cfg.dropout, dtype=self.dtype, name="ffn1"
         )(x, deterministic)
@@ -289,7 +300,7 @@ class ConformerBlock(nn.Module):
             cfg.num_heads,
             cfg.attention_dropout,
             use_relative=cfg.use_relative_attention,
-            use_pallas=self.use_pallas,
+            use_pallas=att_pl,
             dtype=self.dtype,
             name="mhsa",
         )(x, mask, deterministic)
@@ -299,7 +310,7 @@ class ConformerBlock(nn.Module):
             cfg.conv_expansion,
             cfg.dropout,
             norm=cfg.conv_norm,
-            use_pallas=self.use_pallas,
+            use_pallas=conv_pl,
             dtype=self.dtype,
             name="conv",
         )(x, mask, deterministic)
@@ -311,8 +322,23 @@ class ConformerBlock(nn.Module):
 
 
 class ConformerEncoder(nn.Module):
+    """Stack of Conformer blocks with shape-aware kernel routing.
+
+    ``attention_impl``: 'flash' | 'xla' | 'auto' — auto picks flash only when
+    the (static, known at trace time) sequence length reaches
+    ``flash_min_t``: below that, each Mosaic kernel invocation's ~0.45 ms
+    fixed cost (results/step_trace_tpu.json) exceeds the whole einsum
+    attention, and the XLA path's O(T²) score tensor is still small.
+    ``conv_impl``: 'pallas' | 'xla' for the depthwise conv.
+    ``use_pallas`` (legacy): when the impls are None, True maps to
+    attention_impl='flash', conv_impl='pallas'.
+    """
+
     config: ConformerConfig
     use_pallas: bool = False
+    attention_impl: Optional[str] = None
+    conv_impl: Optional[str] = None
+    flash_min_t: int = FLASH_ATTENTION_MIN_T
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -320,7 +346,12 @@ class ConformerEncoder(nn.Module):
     def __call__(
         self, x: jnp.ndarray, lengths: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
-        mask = length_mask(lengths, x.shape[1])
+        t = x.shape[1]
+        att_impl = self.attention_impl or ("flash" if self.use_pallas else "xla")
+        if att_impl == "auto":
+            att_impl = "flash" if t >= self.flash_min_t else "xla"
+        conv_impl = self.conv_impl or ("pallas" if self.use_pallas else "xla")
+        mask = length_mask(lengths, t)
         block_cls = ConformerBlock
         if self.remat:
             # recompute each block in the backward pass instead of storing
@@ -329,7 +360,8 @@ class ConformerEncoder(nn.Module):
         for i in range(self.config.num_blocks):
             x = block_cls(
                 self.config,
-                use_pallas=self.use_pallas,
+                attention_pallas=att_impl == "flash",
+                conv_pallas=conv_impl == "pallas",
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, mask, deterministic)
