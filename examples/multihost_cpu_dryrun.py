@@ -167,9 +167,22 @@ def worker(args) -> None:
     init_loss, init_wer = local_eval_trainer().evaluate(mk(val_shard))
     log(f"init eval: loss={init_loss:.6f} wer={init_wer:.4f}")
 
+    # short-horizon training first: cross-process loss parity is asserted
+    # HERE, where f32 reduction-order drift has not yet amplified through
+    # the chaotic training dynamics (~3e-6 after 2 epochs; ~0.1 after 60)
     gtrainer.train(mk(man["train"]), epochs=2)
     MH.assert_params_in_sync(gtrainer.state.params)
     checks["params_in_sync_after_train"] = True
+
+    parity_loss, parity_wer = local_eval_trainer().evaluate(mk(val_shard))
+    log(f"parity eval (2 epochs): loss={parity_loss:.6f} wer={parity_wer:.4f}")
+
+    # then train long enough that greedy decodes are NON-empty: a 2-epoch
+    # model is still in CTC's all-blank phase and every pseudo-label came
+    # out empty (round-3 weak #3) — 40 epochs yields ~4/10 non-empty on
+    # this corpus, 60 gives margin
+    gtrainer.train(mk(man["train"]), epochs=max(args.train_epochs - 2, 0))
+    MH.assert_params_in_sync(gtrainer.state.params)
     train_losses = [float(x) for x in gtrainer.history["train_loss"]]
 
     post_loss, post_wer = local_eval_trainer().evaluate(mk(val_shard))
@@ -186,10 +199,23 @@ def worker(args) -> None:
     checks["nst_label_union_complete"] = True
     full_u = mk(man["unlabeled"])
     pseudo = full_u.with_pseudo_labels(labels, unk_tol=1.0)
+    # the NST loop must carry REAL pseudo-labels: non-empty transcripts that
+    # parse to CTC target tokens (round-3 weak #3 asked for this assert)
+    assert len(pseudo) > 0, "no pseudo-labels survived the filter"
+    assert all(len(vocab.parse(u.transcript)) > 0 for u in pseudo)
+    checks["num_pseudo_kept_positive"] = True
     mixed = mix_datasets(man["train"], pseudo)
+    assert len(mixed) == len(man["train"]) + len(pseudo)
+    losses_before = len(gtrainer.history["train_loss"])
     gtrainer.train(mk(mixed), epochs=1)
     MH.assert_params_in_sync(gtrainer.state.params)
     checks["nst_retrain_in_sync"] = True
+    # the mixed retrain executed on the pseudo-carrying dataset and its loss
+    # is finite → cross-host label TOKENS were consumed as CTC targets
+    import math
+    retrain_losses = gtrainer.history["train_loss"][losses_before:]
+    assert retrain_losses and all(math.isfinite(float(x)) for x in retrain_losses)
+    checks["nst_retrain_used_pseudo"] = True
 
     out = {
         "ok": True,
@@ -198,6 +224,7 @@ def worker(args) -> None:
         "global_devices": len(jax.devices()),
         "local_devices": len(jax.local_devices()),
         "init_eval": {"loss": float(init_loss), "wer": float(init_wer)},
+        "parity_eval": {"loss": float(parity_loss), "wer": float(parity_wer)},
         "post_eval": {"loss": float(post_loss), "wer": float(post_wer)},
         "train_losses": train_losses,
         "num_pseudo_labels": len(labels),
@@ -222,7 +249,8 @@ def _free_port() -> int:
     return port
 
 
-def run_config(corpus: str, out_root: str, nproc: int, timeout: float = 900.0):
+def run_config(corpus: str, out_root: str, nproc: int, timeout: float = 900.0,
+               train_epochs: int = 60):
     """Spawn ``nproc`` workers (devices_per_process = 8/nproc); return the
     merged worker reports."""
     out_dir = os.path.join(out_root, f"np{nproc}")
@@ -237,7 +265,8 @@ def run_config(corpus: str, out_root: str, nproc: int, timeout: float = 900.0):
              "--coordinator", coord, "--num-processes", str(nproc),
              "--process-id", str(i),
              "--devices-per-process", str(GLOBAL_DEVICES // nproc),
-             "--corpus", corpus, "--out-dir", out_dir],
+             "--corpus", corpus, "--out-dir", out_dir,
+             "--train-epochs", str(train_epochs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         ))
@@ -263,7 +292,7 @@ def run_config(corpus: str, out_root: str, nproc: int, timeout: float = 900.0):
 
 
 def launch(corpus_dir=None, out_root=None, proc_counts=(1, 2, 4),
-           results_path=None, timeout=900.0):
+           results_path=None, timeout=900.0, train_epochs=60):
     import tempfile
 
     work = out_root or tempfile.mkdtemp(prefix="multihost_")
@@ -284,16 +313,20 @@ def launch(corpus_dir=None, out_root=None, proc_counts=(1, 2, 4),
     summary = {"global_devices": GLOBAL_DEVICES, "configs": {}}
     for nproc in proc_counts:
         t0 = time.time()
-        reports = run_config(corpus, work, nproc, timeout=timeout)
+        reports = run_config(corpus, work, nproc, timeout=timeout,
+                             train_epochs=train_epochs)
         r0 = reports[0]
         assert all(r["ok"] for r in reports)
         # every host must have computed the SAME gathered metrics
         for r in reports[1:]:
             assert abs(r["init_eval"]["loss"] - r0["init_eval"]["loss"]) < 1e-9
             assert abs(r["post_eval"]["wer"] - r0["post_eval"]["wer"]) < 1e-9
+        assert r0["num_pseudo_kept"] > 0, (
+            f"nproc={nproc}: NST generation carried zero pseudo-labels")
         summary["configs"][str(nproc)] = {
             "wall_s": round(time.time() - t0, 1),
             "init_eval": r0["init_eval"],
+            "parity_eval": r0["parity_eval"],
             "post_eval": r0["post_eval"],
             "train_losses": r0["train_losses"],
             "num_pseudo_labels": r0["num_pseudo_labels"],
@@ -310,14 +343,21 @@ def launch(corpus_dir=None, out_root=None, proc_counts=(1, 2, 4),
             # identical global programs (same 8-device mesh): the gathered
             # distributed metrics must match the single-process run
             d_init = abs(cfg["init_eval"]["loss"] - base["init_eval"]["loss"])
+            # strict loss parity on the SHORT horizon (2 epochs), before f32
+            # reduction-order drift amplifies through the chaotic training
+            # dynamics (3e-6 at 2 epochs; ~0.1 by 60 epochs even though WER
+            # and the NST flow agree)
+            d_par = abs(cfg["parity_eval"]["loss"] - base["parity_eval"]["loss"])
             d_post = abs(cfg["post_eval"]["loss"] - base["post_eval"]["loss"])
             d_wer = abs(cfg["post_eval"]["wer"] - base["post_eval"]["wer"])
             assert d_init < 1e-5, (nproc, d_init)
-            assert d_post < 1e-3, (nproc, d_post)
+            assert d_par < 1e-3, (nproc, d_par)
             assert d_wer <= 0.05, (nproc, d_wer)
             assert cfg["num_pseudo_labels"] == base["num_pseudo_labels"]
+            assert cfg["num_pseudo_kept"] == base["num_pseudo_kept"]
             cfg["vs_single_process"] = {
                 "init_loss_absdiff": d_init,
+                "parity_loss_absdiff": d_par,
                 "post_loss_absdiff": d_post,
                 "post_wer_absdiff": d_wer,
             }
@@ -343,12 +383,14 @@ def main(argv=None) -> int:
     ap.add_argument("--results", default=os.path.join(REPO, "results",
                                                       "multihost_cpu.json"))
     ap.add_argument("--timeout", type=float, default=900.0)
+    ap.add_argument("--train-epochs", type=int, default=60)
     args = ap.parse_args(argv)
     if args.worker:
         worker(args)
         return 0
     launch(corpus_dir=args.corpus, proc_counts=tuple(args.proc_counts),
-           results_path=args.results, timeout=args.timeout)
+           results_path=args.results, timeout=args.timeout,
+           train_epochs=args.train_epochs)
     return 0
 
 
