@@ -108,10 +108,15 @@ def run_worker():
     )
 
     feat_cfg = C.FeatureConfig()
+    # shape-aware auto routing (round 4): at this config's T=235 that is XLA
+    # einsum attention + XLA depthwise + Pallas fused LSTM/CTC, no remat —
+    # 11.2 ms/step vs 69 ms for the round-3 all-Pallas+remat construction
+    # (results/timing_audit_tpu.json m_auto_bf16 vs m_bf16).  This is the
+    # timing-audit `m_auto_fence_bf16` variant, bit-for-bit.
     mcfg = C.conformer_m(
         compute_dtype="bfloat16",
         use_pallas=True,
-        remat=True,
+        remat=False,
     )
     vocab = WordVocab(
         ["<blank>", "<pad>", "<unk>"] + [f"w{i}" for i in range(VOCAB - 3)]
@@ -144,6 +149,10 @@ def run_worker():
 
     def full_step(st, _):
         f, fl = augment(st.rng, audio, alen)
+        # augment/core scheduling fence (docs/STATUS.md env fact 7b): without
+        # it the fused scanned program can compile a pathological interleaved
+        # schedule (35.6 ms vs 11.2 ms, round-4 m_auto_bf16 audit)
+        f = jax.lax.optimization_barrier(f)
         st, metrics = core(st, f, fl, targets, tlen)
         return st, metrics["loss"]
 
@@ -172,12 +181,33 @@ def run_worker():
         scans[n] = min(ts)
     marginal = (scans[N2] - scans[N1]) / (N2 - N1)
 
+    # cross-check: the production two-dispatch pattern (augment then core as
+    # separate jitted calls, chained through the state), value-fetch
+    # marginal — should agree with the fenced scan number
+    aug_j = jax.jit(augment)
+    core_j = jax.jit(core, donate_argnums=(0,))
+
+    def host_chain(st, iters):
+        t0 = time.perf_counter()
+        metrics = None
+        for _ in range(iters):
+            f, fl = aug_j(st.rng, audio, alen)
+            st, metrics = core_j(st, f, fl, targets, tlen)
+        _ = float(metrics["loss"])  # value-fetch barrier
+        return time.perf_counter() - t0, st
+
+    _, st = host_chain(state, 3)  # compile + warm
+    t20, st = host_chain(st, 20)
+    t100, st = host_chain(st, 100)
+    hostloop_marginal = (t100 - t20) / 80
+
     frames = feat_cfg.num_frames(n_samples)
     flops = train_step_flops(mcfg, len(vocab), BATCH, frames)
     print(json.dumps({
         "ms_per_step": marginal * 1e3,
         f"scan{N1}_s": round(scans[N1], 4),
         f"scan{N2}_s": round(scans[N2], 4),
+        "ms_per_step_hostloop_marginal": round(hostloop_marginal * 1e3, 3),
         "loss": loss_val,
         "flops_per_step": flops,
         "peak_flops": TPU_V5E_PEAK_FLOPS,
@@ -231,6 +261,7 @@ def main():
     if PIN_PATH.exists():
         pin = json.loads(PIN_PATH.read_text())
 
+    host_ms = sorted(r["ms_per_step_hostloop_marginal"] for r in results)
     out = {
         "metric": "conformer_m_30s_train_audio_seconds_per_second",
         "value": round(audio_seconds_per_s, 1),
@@ -240,6 +271,7 @@ def main():
         "ms_per_step": round(median_ms, 2),
         "ms_min": round(ms[0], 2),
         "ms_max": round(ms[-1], 2),
+        "ms_per_step_hostloop_marginal_median": round(float(np.median(host_ms)), 2),
         "samples": len(ms),
         "flops_per_step": flops,
         "vs_baseline": round(audio_seconds_per_s / BASELINE_AUDIO_SECONDS_PER_S, 2),
