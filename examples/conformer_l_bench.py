@@ -80,6 +80,14 @@ def run_variant(key: str, seconds: float) -> None:
         train_step_flops,
     )
 
+    import os as _os
+    if jax.default_backend() not in ("tpu", "axon") and \
+            "/root/.axon_site" not in _os.environ.get("PYTHONPATH", ""):
+        raise RuntimeError(
+            "misconfigured: axon plugin path not on PYTHONPATH "
+            "(deterministic, do not retry) — use "
+            "PYTHONPATH=/root/repo:$PYTHONPATH or no override at all"
+        )
     assert jax.default_backend() in ("tpu", "axon"), (
         f"TPU benchmark fell back to {jax.default_backend()!r} — the Pallas "
         "kernels would silently run in interpret mode and the numbers would "
@@ -173,7 +181,10 @@ def _run_sample(argv, env, what, tries=4):
         lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
         if p.returncode == 0 and lines:
             return json.loads(lines[-1])
-        flake = "fell back to" in (p.stdout + p.stderr)
+        err_text = p.stdout + p.stderr
+        if "deterministic, do not retry" in err_text:
+            raise RuntimeError("axon plugin not on PYTHONPATH — fix the environment")
+        flake = "fell back to" in err_text
         sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
         if flake and attempt < tries - 1:
             print(f"{what}: tunnel flake, retrying in 60 s "

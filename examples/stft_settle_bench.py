@@ -45,6 +45,14 @@ def run_cell(b: int, seconds: float, use_pallas: bool) -> None:
     from nn_conformer_for_speech_recognition_tpu import config as C
     from nn_conformer_for_speech_recognition_tpu.ops.features import make_featurizer
 
+    import os as _os
+    if jax.default_backend() not in ("tpu", "axon") and \
+            "/root/.axon_site" not in _os.environ.get("PYTHONPATH", ""):
+        raise RuntimeError(
+            "misconfigured: axon plugin path not on PYTHONPATH "
+            "(deterministic, do not retry) — use "
+            "PYTHONPATH=/root/repo:$PYTHONPATH or no override at all"
+        )
     assert jax.default_backend() in ("tpu", "axon"), (
         f"TPU benchmark fell back to {jax.default_backend()!r} — interpret-"
         "mode Pallas numbers would be meaningless. Fix the tunnel and re-run."
@@ -114,7 +122,10 @@ def main():
                 sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
                 # transient axon-relay discovery flake: worker asserts out
                 # instead of benchmarking interpret-mode CPU — retry fresh
-                if "fell back to" in (p.stdout + p.stderr) and attempt < 3:
+                err_text = p.stdout + p.stderr
+                if "deterministic, do not retry" in err_text:
+                    raise RuntimeError("axon plugin not on PYTHONPATH — fix the environment")
+                if "fell back to" in err_text and attempt < 3:
                     time.sleep(60)
                     continue
                 row[impl] = {"error": f"rc={p.returncode}"}
