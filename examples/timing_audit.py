@@ -64,6 +64,12 @@ VARIANTS = {
     "m_auto_fence_bf16": dict(model="m", ctc="pallas", dtype="bfloat16",
                               barrier=True,
                               mk=dict(use_pallas=True, remat=False)),
+    # unrolled scan: the while-loop body pays ~0.1 ms per op on this device
+    # (step_trace m_auto: every fusion ~3-7x its dispatched-program cost);
+    # unrolling amortises the per-iteration overhead across k steps
+    "m_auto_unroll8_bf16": dict(model="m", ctc="pallas", dtype="bfloat16",
+                                unroll=8,
+                                mk=dict(use_pallas=True, remat=False)),
     # isolate the remat cost from the kernel routing
     "m_flash_noremat_bf16": dict(model="m", ctc="pallas", dtype="bfloat16",
                                  mk=dict(use_pallas=True,
@@ -154,7 +160,8 @@ def run_variant(key: str, seconds: float = 30.0) -> None:
     def make_scan(n):
         @jax.jit
         def scan_fn(st):
-            st, losses = jax.lax.scan(full_step, st, None, length=n)
+            st, losses = jax.lax.scan(full_step, st, None, length=n,
+                                      unroll=v.get("unroll", 1))
             return st, losses[-1]
         return scan_fn
 

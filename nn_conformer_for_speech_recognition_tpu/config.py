@@ -52,6 +52,11 @@ class FeatureConfig:
     # htk-style mel scale matches librosa(htk=True)=False default; we use the
     # Slaney scale like librosa's default.
     htk: bool = False
+    # featurizer compute impl: 'xla' (fused matmul-DFT log-mel, the default)
+    # or 'pallas' (ops/pallas/stft_logmel.py). Routed by make_featurizer and
+    # Trainer._featurize; the default is set by the STFT settle measurement
+    # (results/stft_settle_tpu.json).
+    impl: str = "xla"
 
     @property
     def win_length_(self) -> int:

@@ -216,12 +216,15 @@ def normalize_features(
     return jnp.where(mask, out, 0.0)
 
 
-def make_featurizer(config: FeatureConfig, use_pallas: bool = False):
+def make_featurizer(config: FeatureConfig, use_pallas: bool = None):
     """Returns a jitted (audio, lengths) -> (features, frame_lengths) fn.
 
     With ``use_pallas`` the fused Pallas STFT+mel kernel handles the
-    spectrogram; normalisation stays in XLA (it fuses fine).
+    spectrogram; normalisation stays in XLA (it fuses fine).  When
+    ``use_pallas`` is None the choice comes from ``config.impl``.
     """
+    if use_pallas is None:
+        use_pallas = config.impl == "pallas"
     if use_pallas:
         from nn_conformer_for_speech_recognition_tpu.ops.pallas.stft_logmel import (
             stft_logmel_pallas,
