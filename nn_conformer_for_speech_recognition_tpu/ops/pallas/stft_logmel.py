@@ -72,8 +72,12 @@ def _padded_bases(
 
 
 def _stft_logmel_kernel(
-    audio_ref,  # (BB, rows_per_batch, 128) VMEM block — BB whole batch rows,
-    # loaded once per batch-tile (index map constant in t → Pallas reuses it)
+    audio_ref,  # VMEM block: (BB, rows_per_batch, 128) whole batch rows when
+    # time_tiled=False (index map constant in t → Pallas reuses it), or
+    # (BB, tile_t*hop_rows, 128) per-frame-tile rows when time_tiled=True
+    # (hop == n_fft ⇒ frames don't overlap ⇒ tiles partition the audio, so
+    # VMEM stays bounded at any clip length — the whole-row layout OOMs
+    # scoped vmem at ~300 s clips)
     window_ref,  # (8, n_fft) VMEM (row-broadcast copy)
     dft_real_ref,  # (n_fft, bins_pad) VMEM
     dft_imag_ref,  # (n_fft, bins_pad) VMEM
@@ -85,6 +89,7 @@ def _stft_logmel_kernel(
     tile_t: int,
     batch_tile: int,
     log_floor: float,
+    time_tiled: bool,
 ):
     t0 = pl.program_id(1)
 
@@ -92,7 +97,7 @@ def _stft_logmel_kernel(
     # batch_tile rows stack into one (BB*tile_t, n_fft) matrix so the DFT
     # matmuls run at full MXU tile height
     hop_rows, fft_rows = hop // LANES, n_fft // LANES
-    base = t0 * tile_t * hop_rows
+    base = 0 if time_tiled else t0 * tile_t * hop_rows
     rows = [
         audio_ref[b, pl.ds(base + i * hop_rows, fft_rows), :].reshape(1, n_fft)
         for b in range(batch_tile)
@@ -147,12 +152,35 @@ def stft_logmel_pallas(
     ).copy()
 
     t_tiles = -(-num_frames // tile_t)
+    # hop == n_fft ⇒ consecutive frames (and frame tiles) do not overlap, so
+    # the time axis can be block-partitioned: VMEM per grid cell stays
+    # (batch_tile, tile_t·hop_rows, 128) regardless of clip length.  With
+    # overlap (hop < n_fft) the tiles would need halo rows Pallas blocks
+    # can't express, so the whole row rides VMEM — viable only while it fits.
+    time_tiled = hop == n_fft
     span = (tile_t - 1) * hop + n_fft
     span_rows = _round_up(-(-span // LANES), SUBLANES)
-    # rows per batch: cover last tile's span, multiple of 8 rows
-    rows_per_batch = _round_up(
-        (t_tiles - 1) * (tile_t * hop // LANES) + span_rows, SUBLANES
-    )
+    if time_tiled:
+        rows_per_tile = tile_t * hop // LANES
+        rows_per_batch = t_tiles * rows_per_tile
+        audio_block_rows = rows_per_tile
+        audio_index_map = lambda b, t: (b, t, 0)
+    else:
+        # rows per batch: cover last tile's span, multiple of 8 rows
+        rows_per_batch = _round_up(
+            (t_tiles - 1) * (tile_t * hop // LANES) + span_rows, SUBLANES
+        )
+        audio_block_rows = rows_per_batch
+        audio_index_map = lambda b, t: (b, 0, 0)
+        vmem_bytes = batch_tile * rows_per_batch * LANES * 4
+        if vmem_bytes > 12 * 1024 * 1024:
+            # whole-row layout would blow scoped VMEM — jnp reference path
+            import dataclasses
+
+            out, _ = F.log_mel_spectrogram(
+                audio, dataclasses.replace(config, normalize="none")
+            )
+            return out
     needed = rows_per_batch * LANES
     padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
     if padded.shape[1] < needed:
@@ -170,6 +198,7 @@ def stft_logmel_pallas(
         tile_t=tile_t,
         batch_tile=batch_tile,
         log_floor=config.log_floor,
+        time_tiled=time_tiled,
     )
     out = pl.pallas_call(
         kernel,
@@ -177,8 +206,8 @@ def stft_logmel_pallas(
         grid=(b_pad // batch_tile, t_tiles),
         in_specs=[
             pl.BlockSpec(
-                (batch_tile, rows_per_batch, LANES),
-                lambda b, t: (b, 0, 0),
+                (batch_tile, audio_block_rows, LANES),
+                audio_index_map,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

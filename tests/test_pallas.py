@@ -53,6 +53,25 @@ def test_stft_logmel_odd_length(rng):
     assert got.shape == (1, 24000 // 512 + 1, 40)
 
 
+def test_stft_logmel_multi_tile_parity(rng):
+    """hop == n_fft time-tiled blocking (the long-form VMEM fix): parity
+    across several frame tiles, including the final partial tile."""
+    cfg = FeatureConfig(normalize="none")
+    x = jnp.asarray(rng.standard_normal((2, 60000)).astype(np.float32) * 0.1)
+    got = stft_logmel_pallas(x, cfg, interpret=True)  # 118 frames → 4 tiles
+    ref, _ = log_mel_spectrogram(x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_stft_logmel_overlapping_geometry_parity(rng):
+    """hop < n_fft (lane-aligned) rides the whole-row VMEM layout."""
+    cfg = FeatureConfig(n_fft=256, hop_length=128, normalize="none")
+    x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
+    got = stft_logmel_pallas(x, cfg, interpret=True)
+    ref, _ = log_mel_spectrogram(x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 # ------------------------------------------------------------- depthwise conv
 
 
