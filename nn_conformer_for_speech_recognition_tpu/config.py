@@ -52,11 +52,13 @@ class FeatureConfig:
     # htk-style mel scale matches librosa(htk=True)=False default; we use the
     # Slaney scale like librosa's default.
     htk: bool = False
-    # featurizer compute impl: 'xla' (fused matmul-DFT log-mel, the default)
-    # or 'pallas' (ops/pallas/stft_logmel.py). Routed by make_featurizer and
-    # Trainer._featurize; the default is set by the STFT settle measurement
-    # (results/stft_settle_tpu.json).
-    impl: str = "xla"
+    # featurizer compute impl: 'auto' | 'xla' (fused matmul-DFT log-mel) |
+    # 'pallas' (ops/pallas/stft_logmel.py). auto = pallas on the TPU backend
+    # when the geometry is lane-aligned (hop and n_fft % 128 == 0): the
+    # fused kernel wins 6.8-13.6x across every measured (B, seconds) cell
+    # (results/stft_settle_tpu.json, scan-marginal protocol; the round-1
+    # "pallas loses for short clips" claim was a dispatch-rate artifact).
+    impl: str = "auto"
 
     @property
     def win_length_(self) -> int:

@@ -216,6 +216,26 @@ def normalize_features(
     return jnp.where(mask, out, 0.0)
 
 
+def resolve_featurizer_impl(config: FeatureConfig) -> str:
+    """'pallas' or 'xla' for this config ('auto' = pallas on TPU when the
+    geometry is lane-aligned — it wins 6.8-13.6x there,
+    results/stft_settle_tpu.json)."""
+    import jax
+
+    if config.impl == "auto":
+        from nn_conformer_for_speech_recognition_tpu.ops.pallas.stft_logmel import (
+            pallas_geometry_supported,
+        )
+
+        return (
+            "pallas"
+            if jax.default_backend() in ("tpu", "axon")
+            and pallas_geometry_supported(config)
+            else "xla"
+        )
+    return config.impl
+
+
 def make_featurizer(config: FeatureConfig, use_pallas: bool = None):
     """Returns a jitted (audio, lengths) -> (features, frame_lengths) fn.
 
@@ -224,7 +244,7 @@ def make_featurizer(config: FeatureConfig, use_pallas: bool = None):
     ``use_pallas`` is None the choice comes from ``config.impl``.
     """
     if use_pallas is None:
-        use_pallas = config.impl == "pallas"
+        use_pallas = resolve_featurizer_impl(config) == "pallas"
     if use_pallas:
         from nn_conformer_for_speech_recognition_tpu.ops.pallas.stft_logmel import (
             stft_logmel_pallas,
