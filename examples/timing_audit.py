@@ -79,6 +79,10 @@ VARIANTS = {
     # 0.5 ms of the step)
     "m_xla_bf16": dict(model="m", ctc="pallas", dtype="bfloat16",
                        mk=dict(use_pallas=False, remat=False)),
+    # dtype story for M under the trusted protocol (round-1's "+42% bf16"
+    # was measured with the broken barrier)
+    "m_auto_f32": dict(model="m", ctc="pallas", dtype="float32",
+                       mk=dict(use_pallas=True, remat=False)),
     "l_f32": dict(model="l", ctc="pallas", dtype="float32",
                   mk=dict(use_pallas=True, attention_impl="flash",
                           conv_impl="pallas", remat=True)),
