@@ -1,4 +1,11 @@
-"""bf16-vs-f32 crossover measurement on the real TPU chip.
+"""RETIRED (round 4): this bench used the block_until_ready barrier that
+measures dispatch rate, not compute (docs/STATUS.md env fact 10), and
+its conclusions were falsified by the scan-protocol re-measurement
+(l_f32 vs l_bf16 in results/timing_audit_tpu.json - the '-11% bf16
+regression' never existed). Use examples/timing_audit.py variants
+instead.
+
+bf16-vs-f32 crossover measurement on the real TPU chip.
 
 docs/STATUS.md records that f32 beats bf16 for Conformer-S on 1 s clips
 (bf16 conversion overhead dominates a fixed-overhead-bound step).  This

@@ -1,4 +1,10 @@
-"""Long-form audio train-step matrix on the real TPU chip.
+"""RETIRED (round 4): this bench used the block_until_ready barrier that
+measures dispatch rate, not compute (docs/STATUS.md env fact 10). The
+kernel-stack comparison it performed is superseded by the
+examples/timing_audit.py variant matrix (m_bf16 / m_flash_noremat /
+m_xla / m_auto) under the trusted scan-marginal protocol.
+
+Long-form audio train-step matrix on the real TPU chip.
 
 Reproduces (and extends with the fused Pallas CTC) the measurement recorded
 in docs/STATUS.md: Conformer-M, 30 s utterances, B=16, word-piece-sized
