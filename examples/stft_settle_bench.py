@@ -78,9 +78,19 @@ def run_cell(b: int, seconds: float, use_pallas: bool) -> None:
         return scan_fn
 
     c0 = jnp.float32(0.0)
+    # probe to size the scans: sub-ms cells need hundreds of iterations or
+    # the marginal is dispatch-noise (it measured NEGATIVE at B=4/30 s)
+    probe = make_scan(N1)
+    t0 = time.time()
+    float(probe(c0))
+    compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    float(probe(c0))
+    est = max((time.perf_counter() - t0) / N1, 1e-5)
+    n2 = int(min(max(N2, 1.0 / est), 4000))
+    n1 = max(N1, n2 // 5)
     scans = {}
-    compile_s = 0.0
-    for n_iter in (N1, N2):
+    for n_iter in (n1, n2):
         sf = make_scan(n_iter)
         t0 = time.time()
         float(sf(c0))  # compile + run; value fetch
@@ -91,12 +101,13 @@ def run_cell(b: int, seconds: float, use_pallas: bool) -> None:
             float(sf(c0))
             ts.append(time.perf_counter() - t0)
         scans[n_iter] = min(ts)
-    dt = (scans[N2] - scans[N1]) / (N2 - N1)
+    dt = (scans[n2] - scans[n1]) / (n2 - n1)
     feats, _ = fn(audio, alen)
     out_shape = list(feats.shape)
     print(json.dumps({
         "ms": dt * 1e3,
         "protocol": "scan-marginal",
+        "n1": n1, "n2": n2,
         "audio_s_per_s": b * seconds / dt,
         "compile_s": round(compile_s, 1),
         "out_shape": out_shape,
