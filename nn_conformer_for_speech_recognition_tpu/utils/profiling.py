@@ -41,6 +41,14 @@ def annotate(name: str) -> Iterator[None]:
 class StepTimer:
     """Per-step wall-clock accounting: data-wait vs. step-dispatch+compute.
 
+    Caveat (docs/STATUS.md env fact 10): dispatch is async and
+    ``block_until_ready`` does not reliably block on the tunneled TPU, so
+    ``compute_s`` for an *individual* step is dispatch time, not device
+    time.  The AGGREGATE over an epoch is trustworthy whenever the loop
+    ends with a value fetch (the Trainer pulls losses per epoch) — queued
+    device work must finish before the fetched value exists.  For honest
+    per-step device timings use `utils/timing.scan_marginal_ms`.
+
     Usage::
 
         timer = StepTimer(sample_rate=16000)
