@@ -192,11 +192,16 @@ class ModelConfig:
     encoder: ConformerConfig = ConformerConfig()
     decoder: DecoderConfig = DecoderConfig()
     n_mels: int = 40
-    # computation dtype: 'bfloat16' rides the MXU at full rate; params stay
-    # f32. Measured on v5e (results/dtype_crossover_tpu.json): a wash for
-    # Conformer-S on 1 s clips, +42% for Conformer-M on 30 s audio, within
-    # run variance for Conformer-L — prefer bfloat16 for mid-size long-form.
-    compute_dtype: str = "float32"
+    # computation dtype ('auto' | 'bfloat16' | 'float32'): params stay f32;
+    # this is the matmul/activation dtype.  'auto' resolves to bfloat16 on
+    # the TPU backend and float32 elsewhere.  Measured on v5e under the
+    # scan-marginal protocol (results/timing_audit_tpu.json, round 4):
+    # bfloat16 is 3.3x faster than f32 for Conformer-M on 30 s audio
+    # (35.6 vs 118.0 ms/step) and ~5% faster for Conformer-L — f32 matmuls
+    # run multi-pass on the MXU, so bfloat16 is always right on this chip
+    # (the earlier "+42% for M / L regression" dtype_crossover numbers were
+    # dispatch-rate fiction and are retired in-file).
+    compute_dtype: str = "auto"
     # Master switch: route hot ops through Pallas kernels.  Per-op selection
     # below ('auto' = pick by shape at trace time; 'pallas'/'flash' or 'xla'
     # force one path).  With use_pallas=False everything is XLA regardless.
@@ -226,6 +231,24 @@ class ModelConfig:
 
     def subsampled_length(self, t: int) -> int:
         return self.subsampling.subsampled_length(t)
+
+    def resolved_compute_dtype(self) -> str:
+        """'bfloat16' or 'float32'; 'auto' picks bf16 on the TPU backend
+        (3.3x for Conformer-M, ~5% for L — see ``compute_dtype`` above)."""
+        if self.compute_dtype == "auto":
+            import jax
+
+            return (
+                "bfloat16"
+                if jax.default_backend() in ("tpu", "axon")
+                else "float32"
+            )
+        if self.compute_dtype not in ("bfloat16", "float32"):
+            raise ValueError(
+                f"compute_dtype must be 'auto', 'bfloat16' or 'float32', "
+                f"got {self.compute_dtype!r}"
+            )
+        return self.compute_dtype
 
     def resolved_attention_impl(self, t: int) -> str:
         """'flash' or 'xla' for an encoder sequence length ``t``."""

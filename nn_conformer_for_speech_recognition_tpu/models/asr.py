@@ -106,7 +106,7 @@ class ConformerCTC(nn.Module):
 
     @property
     def dtype(self):
-        return jnp.dtype(self.config.compute_dtype)
+        return jnp.dtype(self.config.resolved_compute_dtype())
 
     def setup(self):
         cfg = self.config

@@ -331,7 +331,13 @@ class ConformerEncoder(nn.Module):
     attention, and the XLA path's O(T²) score tensor is still small.
     ``conv_impl``: 'pallas' | 'xla' for the depthwise conv.
     ``use_pallas`` (legacy): when the impls are None, True maps to
-    attention_impl='flash', conv_impl='pallas'.
+    attention_impl='auto', conv_impl='auto' — the SAME resolution
+    ``ModelConfig.resolved_*_impl`` uses, so the param tree is identical
+    whether a model is built through ``ConformerCTC`` or directly through
+    this module (conv 'auto' resolves to 'xla'; checkpoints written by the
+    pre-round-5 legacy mapping, where use_pallas=True forced the Pallas
+    depthwise path with its 'dw_kernel' param, load by passing
+    conv_impl='pallas' explicitly).
     """
 
     config: ConformerConfig
@@ -347,10 +353,16 @@ class ConformerEncoder(nn.Module):
         self, x: jnp.ndarray, lengths: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
         t = x.shape[1]
-        att_impl = self.attention_impl or ("flash" if self.use_pallas else "xla")
+        att_impl = self.attention_impl or ("auto" if self.use_pallas else "xla")
         if att_impl == "auto":
             att_impl = "flash" if t >= self.flash_min_t else "xla"
-        conv_impl = self.conv_impl or ("pallas" if self.use_pallas else "xla")
+        conv_impl = self.conv_impl or ("auto" if self.use_pallas else "xla")
+        if conv_impl == "auto":
+            # canonical resolution, identical to ModelConfig.resolved_conv_impl:
+            # XLA's fused conv_general_dilated beats the Pallas kernel's fixed
+            # cost at every measured shape, and a shape-driven flip would
+            # silently change checkpoint param names (dw_kernel vs depthwise)
+            conv_impl = "xla"
         mask = length_mask(lengths, t)
         block_cls = ConformerBlock
         if self.remat:

@@ -19,6 +19,7 @@ and every generation checkpoints, so the loop is resumable per generation
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from typing import Dict, List, Optional
 
@@ -39,6 +40,10 @@ class GenerationResult:
     num_kept: int
     val_loss: Optional[float] = None
     val_wer: Optional[float] = None
+    # set by best-generation selection: the generation whose checkpoint the
+    # trainer is left holding (the reference's results table reports the best
+    # NST variant, `main.ipynb` cell 44 — not the last)
+    is_best: bool = False
 
 
 def _mix_dataset_like(supervised: BucketedDataset, utts) -> BucketedDataset:
@@ -61,11 +66,22 @@ def run_nst(
     work_dir: Optional[str] = None,
     checkpoint_manager=None,
     resume: bool = False,
+    select_best: bool = True,
 ) -> List[GenerationResult]:
     """Run the NST loop with an already-initialised (trained) Trainer.
 
     The Trainer's optimizer should already be configured at ``cfg.ft_lr``
     (the reference builds a fresh Runner at ft_lr, `finetune.py:28`).
+
+    ``select_best`` (and a ``val_dataset``): the loop tracks every
+    generation's val WER (val loss as tie-breaker when WER is off) and
+    leaves the trainer holding the BEST generation's state, not the last —
+    NST generations are noisy and can regress (round-4 demo: 66.4 → 70.7);
+    the reference's results table reports the best NST variant
+    (`main.ipynb` cell 44).  With ``work_dir`` the per-generation scores
+    persist to ``nst_history.json`` so a resumed run still selects across
+    generations that completed before the kill; without ``work_dir`` the
+    candidate states are kept as on-device copies.
 
     With ``checkpoint_manager``, every retrain checkpoints (incl. mid-epoch
     cursors when ``TrainConfig.checkpoint_every_steps`` is set); with
@@ -77,6 +93,34 @@ def run_nst(
     at epoch offset 0, generation ``g``'s retrain at offset ``100·(g+1)``.
     """
     results: List[GenerationResult] = []
+    history_path = os.path.join(work_dir, "nst_history.json") if work_dir else None
+    candidates: List[dict] = []  # generation, val_wer, val_loss, ckpt|state
+
+    def _record_candidate(res: GenerationResult) -> None:
+        """Register a finished generation for best-of selection.  Called
+        after ``trainer.save(ckpt_gen{g})`` so the path is live; without a
+        work_dir the candidate is an on-device copy of the state."""
+        if res.val_wer is None and res.val_loss is None:
+            return
+        entry = {"generation": res.generation, "val_wer": res.val_wer,
+                 "val_loss": res.val_loss}
+        if work_dir:
+            entry["ckpt"] = os.path.join(work_dir, f"ckpt_gen{res.generation}")
+            hist = []
+            if os.path.exists(history_path):
+                hist = json.loads(open(history_path).read())
+            hist = [h for h in hist if h["generation"] != res.generation]
+            hist.append({k: entry[k] for k in ("generation", "val_wer",
+                                               "val_loss", "ckpt")})
+            with open(history_path, "w") as f:
+                json.dump(sorted(hist, key=lambda h: h["generation"]), f)
+        else:
+            import jax
+            import jax.numpy as jnp
+
+            entry["state"] = jax.tree.map(jnp.copy, trainer.state)
+        candidates.append(entry)
+
     epg = cfg.train_epochs_per_generation
     # the resume cursor encodes generation g's retrain at epoch offset
     # 100·(g+1); epochs-per-generation ≥ 100 would alias into the next
@@ -130,7 +174,17 @@ def run_nst(
                     if work_dir:
                         trainer.save(os.path.join(work_dir, f"ckpt_gen{g}"))
                     results.append(res)
+                    _record_candidate(res)
                     start_gen = g + 1
+        # generations that finished before the kill left their scores (and
+        # checkpoint paths) in nst_history.json — reload them so best-of
+        # selection still spans the whole run
+        if history_path and os.path.exists(history_path):
+            done = {c["generation"] for c in candidates}
+            for h in json.loads(open(history_path).read()):
+                if h["generation"] < start_gen and h["generation"] not in done:
+                    candidates.append(h)
+            candidates.sort(key=lambda c: c["generation"])
 
     if init_needed:
         # gen-0 supervised finetune with SpecAugment (`finetune.py:29`)
@@ -177,4 +231,25 @@ def run_nst(
         if work_dir:
             trainer.save(os.path.join(work_dir, f"ckpt_gen{gen}"))
         results.append(res)
+        _record_candidate(res)
+
+    if select_best and candidates:
+        def score(c):
+            return (
+                c["val_wer"] if c["val_wer"] is not None else float("inf"),
+                c["val_loss"] if c["val_loss"] is not None else float("inf"),
+                c["generation"],
+            )
+
+        best = min(candidates, key=score)
+        for r in results:
+            r.is_best = r.generation == best["generation"]
+        if best["generation"] != candidates[-1]["generation"]:
+            # the trainer currently holds the LAST generation's state;
+            # restore the best one (`finetune.py:28-35` role — the reference
+            # reports its best NST variant, not the final generation)
+            if "state" in best:
+                trainer.state = best["state"]
+            else:
+                trainer.load(best["ckpt"])
     return results

@@ -218,10 +218,15 @@ def normalize_features(
 
 def resolve_featurizer_impl(config: FeatureConfig) -> str:
     """'pallas' or 'xla' for this config ('auto' = pallas on TPU when the
-    geometry is lane-aligned — it wins 6.8-13.6x there,
-    results/stft_settle_tpu.json)."""
+    geometry is lane-aligned — it wins 6.8-13.6x at every resolvable
+    measured cell, results/stft_settle_tpu.json)."""
     import jax
 
+    if config.impl not in ("auto", "pallas", "xla"):
+        raise ValueError(
+            f"FeatureConfig.impl must be 'auto', 'pallas' or 'xla', "
+            f"got {config.impl!r}"
+        )
     if config.impl == "auto":
         from nn_conformer_for_speech_recognition_tpu.ops.pallas.stft_logmel import (
             pallas_geometry_supported,
@@ -236,12 +241,16 @@ def resolve_featurizer_impl(config: FeatureConfig) -> str:
     return config.impl
 
 
-def make_featurizer(config: FeatureConfig, use_pallas: bool = None):
+def make_featurizer(config: FeatureConfig, use_pallas: Optional[bool] = None):
     """Returns a jitted (audio, lengths) -> (features, frame_lengths) fn.
 
     With ``use_pallas`` the fused Pallas STFT+mel kernel handles the
     spectrogram; normalisation stays in XLA (it fuses fine).  When
-    ``use_pallas`` is None the choice comes from ``config.impl``.
+    ``use_pallas`` is None the choice comes from ``config.impl`` — NOTE the
+    round-4 default change: it used to be False (always XLA); with the
+    default ``impl='auto'`` the Pallas kernel is now selected on TPU for
+    lane-aligned geometries (numerics parity ~1e-4, not bit-exact).  Callers
+    needing bit-exact XLA features must pass ``use_pallas=False``.
     """
     if use_pallas is None:
         use_pallas = resolve_featurizer_impl(config) == "pallas"

@@ -157,7 +157,16 @@ def stft_logmel_pallas(
     # (batch_tile, tile_t·hop_rows, 128) regardless of clip length.  With
     # overlap (hop < n_fft) the tiles would need halo rows Pallas blocks
     # can't express, so the whole row rides VMEM — viable only while it fits.
-    time_tiled = hop == n_fft
+    # hop==n_fft alone is not enough to time-tile: the audio block's row
+    # count (tile_t*hop/LANES) must itself satisfy the Mosaic (8,128) tile
+    # constraint, i.e. divide LANES exactly and be a multiple of SUBLANES —
+    # a non-default tile_t (e.g. tile_t<8 with hop=128) would otherwise
+    # produce a misaligned block; fall back to the whole-row layout there.
+    time_tiled = (
+        hop == n_fft
+        and (tile_t * hop) % LANES == 0
+        and (tile_t * hop // LANES) % SUBLANES == 0
+    )
     span = (tile_t - 1) * hop + n_fft
     span_rows = _round_up(-(-span // LANES), SUBLANES)
     if time_tiled:

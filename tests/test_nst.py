@@ -89,3 +89,84 @@ def test_nst_generations_run(tmp_path):
     assert len(mixed) >= 16  # supervised always present
     assert all(u.transcript for u in mixed)  # every mixed utt labeled
     assert results[-1].val_wer is not None
+
+
+class _ScriptedTrainer:
+    """Minimal Trainer stand-in: scripted per-train() val metrics, state that
+    records how many trains ran, npz save/load — exercises run_nst's
+    best-generation selection without real training."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = 0
+        self.state = {"w": np.array([0.0])}
+        self.history = {"val_loss": [], "val_wer": []}
+
+    def train(self, ds, epochs, **kw):
+        vl, vw = self.script[self.calls]
+        self.calls += 1
+        self.history["val_loss"].append(vl)
+        self.history["val_wer"].append(vw)
+        self.state = {"w": np.array([float(self.calls)])}
+
+    def generate_labels(self, ds):
+        return {i: "go" for i in range(len(ds.utterances))}
+
+    def save(self, path):
+        np.save(path + ".npy", np.asarray(self.state["w"]))
+
+    def load(self, path):
+        self.state = {"w": np.load(path + ".npy")}
+
+
+def _fake_unlabeled(n=4):
+    class FakeVocab:
+        pad_id, blank_id, unk_id = 1, 0, 2
+
+        def parse(self, s):
+            return [5 for _ in s.split()]
+
+    ds = BucketedDataset.__new__(BucketedDataset)
+    ds.utterances = [Utterance(f"/x/{i}.wav", "") for i in range(n)]
+    ds.vocab = FakeVocab()
+    ds.max_target_len = 8
+    ds.batch_size = 4
+    ds.sample_rate = 16000
+    ds.bucket_boundaries = []
+    return ds
+
+
+@pytest.mark.parametrize("use_work_dir", [True, False])
+def test_nst_best_generation_selected(tmp_path, monkeypatch, use_work_dir):
+    """VERDICT round-4 item 6: the driver must leave the trainer holding the
+    BEST generation's state (val WER), not the last — gen-2 regresses here."""
+    import nn_conformer_for_speech_recognition_tpu.nst.driver as D
+
+    monkeypatch.setattr(D, "_mix_dataset_like", lambda sup, utts: _fake_unlabeled())
+    sup = _fake_unlabeled()
+    tr = _ScriptedTrainer(script=[(0.5, 50.0), (0.4, 30.0), (0.45, 60.0)])
+    cfg = C.NSTConfig(generations=3, train_epochs_per_generation=1,
+                      initial_supervised_finetune=False)
+    work = str(tmp_path / "nst") if use_work_dir else None
+    results = run_nst(tr, sup, _fake_unlabeled(), cfg,
+                      val_dataset=object(), work_dir=work)
+    assert [r.is_best for r in results] == [False, True, False]
+    assert float(np.asarray(tr.state["w"])[0]) == 2.0  # gen-1's state restored
+    if use_work_dir:
+        import json
+        hist = json.loads(open(os.path.join(work, "nst_history.json")).read())
+        assert [h["generation"] for h in hist] == [0, 1, 2]
+        assert hist[1]["val_wer"] == 30.0
+
+
+def test_nst_best_generation_noop_without_val(monkeypatch):
+    """No val_dataset → no candidates → selection must not touch the state."""
+    import nn_conformer_for_speech_recognition_tpu.nst.driver as D
+
+    monkeypatch.setattr(D, "_mix_dataset_like", lambda sup, utts: _fake_unlabeled())
+    tr = _ScriptedTrainer(script=[(0.5, 50.0), (0.4, 30.0)])
+    cfg = C.NSTConfig(generations=2, train_epochs_per_generation=1,
+                      initial_supervised_finetune=False)
+    results = run_nst(tr, _fake_unlabeled(), _fake_unlabeled(), cfg)
+    assert all(not r.is_best for r in results)
+    assert float(np.asarray(tr.state["w"])[0]) == 2.0  # last state kept

@@ -63,6 +63,17 @@ def test_stft_logmel_multi_tile_parity(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_stft_logmel_misaligned_tile_t_falls_back(rng):
+    """ADVICE round-4: a non-default tile_t whose audio block rows are not
+    (8,128)-aligned (tile_t=4, hop=128 → 4 rows/tile) must not take the
+    time-tiled layout — it routes to the whole-row path and stays exact."""
+    cfg = FeatureConfig(n_fft=128, hop_length=128, normalize="none")
+    x = jnp.asarray(rng.standard_normal((2, 6400)).astype(np.float32) * 0.1)
+    got = stft_logmel_pallas(x, cfg, tile_t=4, interpret=True)
+    ref, _ = log_mel_spectrogram(x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_stft_logmel_overlapping_geometry_parity(rng):
     """hop < n_fft (lane-aligned) rides the whole-row VMEM layout."""
     cfg = FeatureConfig(n_fft=256, hop_length=128, normalize="none")
