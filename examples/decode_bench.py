@@ -1,36 +1,33 @@
-"""Decode-path benchmark: greedy vs vectorized CTC beam search on TPU.
+"""Decode-path benchmark: NST pseudo-labeling e2e + greedy vs CTC beam.
 
 The beam is the XLA-native fixed-width prefix search (`ops/decode.py`) —
 static shapes, rolling-hash merges, one lax.scan over time under vmap.
-This measures its cost per audio-second against greedy decode at NST
-pseudo-labeling shapes, deciding whether a Pallas beam kernel (SURVEY.md §7
-build order, last item) is worth building.
 
-Round 4: retimed with the scan/value-fetch marginal protocol
-(`utils/timing.scan_marginal_ms`; docs/STATUS.md env fact 10 — the previous
-version's block_until_ready host loop recorded 0.05 ms dispatch times as
-"steps").
+Round 5 (VERDICT r4 item 3 + weak #3):
+  * the pseudo-label e2e job (the north star's sharded batch-inference pass,
+    `lib/standard/runner.py:253-281` role) now runs the PRODUCT construction:
+    ``compute_dtype='auto'`` (bf16 on TPU — the round-4 number was silently
+    f32, 3.3x slow), shape-aware kernel routing, and the product featurizer
+    (`make_featurizer` routes the Pallas STFT exactly like
+    ``Trainer._featurize``); B swept {64, 128, 256}, one fresh subprocess
+    per cell (docs/STATUS.md env fact 8).
+  * greedy/beam micro rows use ``adaptive_scan_marginal_ms``: scan lengths
+    sized so the wall delta clears dispatch jitter; cells that still cannot
+    be resolved are marked ``below-resolution`` instead of quoting
+    noise-derived audio-s/s (the old 0.06 ms → "18-27M audio-s/s" rows).
 
 Run: JAX_PLATFORMS='' python examples/decode_bench.py
 Writes results/decode_tpu.json.
 """
 
 import json
+import os
 import pathlib
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from nn_conformer_for_speech_recognition_tpu.ops.decode import (
-    ctc_beam_search,
-    greedy_decode,
-)
-from nn_conformer_for_speech_recognition_tpu.utils.timing import scan_marginal_ms
 
 CASES = [
     # (name, B, T, V, beam, prune, audio_seconds_per_utt)
@@ -39,29 +36,62 @@ CASES = [
     ("wpm_longform_wide", 64, 240, 1024, 16, 16, 30.0),
 ]
 
+E2E_BATCHES = [64, 128, 256]
+SEC, SR = 30.0, 16000
 
-def pseudo_label_throughput():
-    """End-to-end NST pseudo-labeling: audio → featurize → Conformer-M →
-    greedy decode, the sharded-inference job of `nst/driver.py` on one chip."""
+
+def _assert_tpu(jax):
+    if jax.default_backend() not in ("tpu", "axon"):
+        if "/root/.axon_site" not in os.environ.get("PYTHONPATH", ""):
+            raise RuntimeError(
+                "misconfigured: axon plugin path not on PYTHONPATH "
+                "(deterministic, do not retry)"
+            )
+        raise RuntimeError(
+            f"decode bench fell back to {jax.default_backend()!r}"
+        )
+
+
+def pseudo_label_cell(b: int) -> None:
+    """One fresh-process e2e cell: audio → product featurizer → Conformer-M
+    (auto-routed, auto-dtype) → greedy decode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import nn_conformer_for_speech_recognition_tpu as pkg
+
+    pkg.ensure_backend()
+    _assert_tpu(jax)
+
     from nn_conformer_for_speech_recognition_tpu import config as C
     from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
-    from nn_conformer_for_speech_recognition_tpu.ops.features import log_mel_spectrogram
+    from nn_conformer_for_speech_recognition_tpu.ops.decode import greedy_decode
+    from nn_conformer_for_speech_recognition_tpu.ops.features import (
+        make_featurizer,
+        resolve_featurizer_impl,
+    )
+    from nn_conformer_for_speech_recognition_tpu.utils.timing import (
+        scan_marginal_ms,
+    )
 
-    B, SEC, SR = 64, 30.0, 16000
     feat_cfg = C.FeatureConfig()
-    mcfg = C.conformer_m(use_pallas=True)
+    mcfg = C.conformer_m(use_pallas=True)  # compute_dtype='auto' → bf16 here
     model = ConformerCTC(mcfg, vocab_size=1024)
+    featurize = make_featurizer(feat_cfg)
     rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.standard_normal((B, int(SEC * SR))).astype(np.float32) * 0.1)
-    alen = jnp.full((B,), int(SEC * SR), jnp.int32)
-    feats, flens = log_mel_spectrogram(audio, feat_cfg, alen)
+    audio = jnp.asarray(
+        rng.standard_normal((b, int(SEC * SR))).astype(np.float32) * 0.1
+    )
+    alen = jnp.full((b,), int(SEC * SR), jnp.int32)
+    feats, flens = featurize(audio, alen)
     vs = jax.jit(model.init)(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)}, feats, flens
     )
 
     @jax.jit
     def predict(vs, audio, alen):
-        feats, flens = log_mel_spectrogram(audio, feat_cfg, alen)
+        feats, flens = featurize(audio, alen)
         lp, ol = model.apply(vs, feats, flens, deterministic=True)
         return greedy_decode(lp, ol)
 
@@ -72,24 +102,32 @@ def pseudo_label_throughput():
         return a + jnp.sum(ids).astype(a.dtype) * 1e-12
 
     ms, details = scan_marginal_ms(step, audio, n1=3, n2=13)
-    thr = B * SEC / (ms / 1e3)
-    print(f"pseudo-label e2e (Conformer-M, B={B}, 30 s): {ms:.2f} ms "
-          f"→ {thr:.0f} audio-s/s", flush=True)
-    return {"ms": round(ms, 2), "audio_s_per_s": round(thr, 0), "B": B,
-            **details}
+    t_frames = mcfg.subsampled_length(feat_cfg.num_frames(int(SEC * SR)))
+    print(json.dumps({
+        "B": b, "ms": round(ms, 2),
+        "audio_s_per_s": round(b * SEC / (ms / 1e3), 0),
+        "compute_dtype": mcfg.resolved_compute_dtype(),
+        "attention_impl": mcfg.resolved_attention_impl(t_frames),
+        "lstm_impl": mcfg.resolved_lstm_impl(),
+        "featurizer_impl": resolve_featurizer_impl(feat_cfg),
+        **details,
+    }), flush=True)
 
 
-def main():
-    import nn_conformer_for_speech_recognition_tpu as pkg
+def micro_cases(results):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    pkg.ensure_backend()
-    assert jax.default_backend() in ("tpu", "axon"), (
-        f"decode bench fell back to {jax.default_backend()!r}"
+    from nn_conformer_for_speech_recognition_tpu.ops.decode import (
+        ctc_beam_search,
+        greedy_decode,
     )
-    print("devices:", jax.devices(), flush=True)
+    from nn_conformer_for_speech_recognition_tpu.utils.timing import (
+        adaptive_scan_marginal_ms,
+    )
+
     rng = np.random.default_rng(0)
-    results = {}
-    results["pseudo_label_e2e"] = pseudo_label_throughput()
     for name, b, t, v, beam, prune, secs in CASES:
         lp = jax.nn.log_softmax(
             jnp.asarray(rng.standard_normal((b, t, v)).astype(np.float32)), -1
@@ -100,8 +138,7 @@ def main():
             ids = greedy_decode(carry, lens)
             return carry + jnp.sum(ids).astype(carry.dtype) * 1e-12
 
-        ms_g, _ = scan_marginal_ms(g_step, lp, n1=3, n2=13)
-        dt_g = ms_g / 1e3
+        ms_g, det_g = adaptive_scan_marginal_ms(g_step, lp)
 
         def b_step(carry):
             toks, _, _ = ctc_beam_search(carry, lens, blank_id=0, beam=beam,
@@ -109,25 +146,66 @@ def main():
                                          max_label_len=min(t, 128))
             return carry + jnp.sum(toks).astype(carry.dtype) * 1e-12
 
-        ms_b, _ = scan_marginal_ms(b_step, lp, n1=3, n2=13)
-        dt_b = ms_b / 1e3
+        ms_b, det_b = adaptive_scan_marginal_ms(b_step, lp)
 
         audio_s = b * secs
         row = {
-            "greedy_ms": round(dt_g * 1e3, 2),
-            "greedy_audio_s_per_s": round(audio_s / dt_g, 0),
-            "beam_ms": round(dt_b * 1e3, 2),
-            "beam_audio_s_per_s": round(audio_s / dt_b, 0),
             "beam": beam, "prune": prune, "B": b, "T": t, "V": v,
-            "protocol": "scan-marginal",
+            "protocol": "scan-marginal-adaptive",
         }
+        for key, ms, det in (("greedy", ms_g, det_g), ("beam", ms_b, det_b)):
+            row[f"{key}_ms"] = round(ms, 3)
+            row[f"{key}_n"] = [det["n1"], det["n2"]]
+            row[f"{key}_delta_s"] = det["delta_s"]
+            if det["resolvable"]:
+                row[f"{key}_audio_s_per_s"] = round(audio_s / (ms / 1e3), 0)
+            else:
+                row[f"{key}_resolution"] = "below-resolution"
         results[name] = row
-        print(f"{name:20s} greedy {dt_g*1e3:8.2f} ms ({row['greedy_audio_s_per_s']:.0f} a-s/s)  "
-              f"beam {dt_b*1e3:8.2f} ms ({row['beam_audio_s_per_s']:.0f} a-s/s)", flush=True)
-    out = pathlib.Path(__file__).resolve().parent.parent / "results" / "decode_tpu.json"
-    out.write_text(json.dumps(results, indent=1) + '\n')
-    print("wrote", out)
+        print(name, json.dumps(row), flush=True)
+
+
+def main():
+    import jax
+
+    import nn_conformer_for_speech_recognition_tpu as pkg
+
+    pkg.ensure_backend()
+    _assert_tpu(jax)
+    print("devices:", jax.devices(), flush=True)
+
+    out_path = pathlib.Path(__file__).resolve().parent.parent / "results" / "decode_tpu.json"
+    results = {}
+    if out_path.exists():
+        results = json.loads(out_path.read_text())
+    results.setdefault("pseudo_label_e2e", {})
+    env = dict(os.environ)
+    for b in E2E_BATCHES:
+        for attempt in range(4):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--e2e", str(b)],
+                capture_output=True, text=True, timeout=5400, env=env,
+            )
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if p.returncode == 0 and lines:
+                results["pseudo_label_e2e"][f"B{b}"] = json.loads(lines[-1])
+                break
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+            if "deterministic, do not retry" in p.stdout + p.stderr:
+                raise RuntimeError("axon plugin not on PYTHONPATH")
+            if attempt < 3:
+                time.sleep(60)
+        out_path.write_text(json.dumps(results, indent=1) + "\n")
+        print(f"e2e B={b}:", results["pseudo_label_e2e"].get(f"B{b}"),
+              flush=True)
+
+    micro_cases(results)
+    out_path.write_text(json.dumps(results, indent=1) + "\n")
+    print("wrote", out_path, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--e2e":
+        pseudo_label_cell(int(sys.argv[2]))
+    else:
+        main()

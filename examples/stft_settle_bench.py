@@ -101,23 +101,44 @@ def run_cell(b: int, seconds: float, use_pallas: bool) -> None:
             float(sf(c0))
             ts.append(time.perf_counter() - t0)
         scans[n_iter] = min(ts)
-    dt = (scans[n2] - scans[n1]) / (n2 - n1)
+    delta_s = scans[n2] - scans[n1]
+    dt = delta_s / (n2 - n1)
     feats, _ = fn(audio, alen)
     out_shape = list(feats.shape)
     print(json.dumps({
         "ms": dt * 1e3,
         "protocol": "scan-marginal",
         "n1": n1, "n2": n2,
+        # total wall delta between the two scans — the quantity the protocol
+        # actually resolves; if it is within dispatch/fetch jitter the
+        # per-iteration marginal is noise and the cell must be marked
+        # below-resolution, not scored (VERDICT r4 weak #1)
+        "delta_s": round(delta_s, 4),
         "audio_s_per_s": b * seconds / dt,
         "compile_s": round(compile_s, 1),
         "out_shape": out_shape,
     }), flush=True)
 
 
-def main():
-    out = {"protocol": f"scan-marginal N={N1}->{N2}", "cells": []}
+MIN_RESOLVABLE_DELTA_S = 0.1  # dispatch+fetch jitter bound on the tunnel
+
+
+def main(only_cells=None):
+    path = pathlib.Path(__file__).resolve().parent.parent / "results" / "stft_settle_tpu.json"
+    out = {"protocol": "scan-marginal, adaptive N (n2 sized so the scan "
+                       "runs ~1 s; cells whose wall delta stays under "
+                       f"{MIN_RESOLVABLE_DELTA_S} s are below-resolution)",
+           "cells": []}
+    prior = {}
+    if path.exists():
+        prior = {(c["B"], c["seconds"]): c
+                 for c in json.loads(path.read_text())["cells"]}
     env = dict(os.environ)
+    cells = only_cells or CELLS
     for b, seconds in CELLS:
+        if (b, seconds) not in cells:
+            out["cells"].append(prior[(b, seconds)])
+            continue
         row = {"B": b, "seconds": seconds}
         for impl, flag in (("xla", "0"), ("pallas", "1")):
             for attempt in range(4):
@@ -142,16 +163,30 @@ def main():
                 row[impl] = {"error": f"rc={p.returncode}"}
                 break
         if "ms" in row.get("xla", {}) and "ms" in row.get("pallas", {}):
-            row["pallas_speedup"] = round(row["xla"]["ms"] / row["pallas"]["ms"], 3)
-            row["winner"] = "pallas" if row["pallas_speedup"] > 1.0 else "xla"
+            resolvable = all(
+                row[i]["ms"] > 0
+                and row[i].get("delta_s", MIN_RESOLVABLE_DELTA_S)
+                >= MIN_RESOLVABLE_DELTA_S
+                for i in ("xla", "pallas")
+            )
+            if resolvable:
+                row["pallas_speedup"] = round(
+                    row["xla"]["ms"] / row["pallas"]["ms"], 3
+                )
+                row["winner"] = "pallas" if row["pallas_speedup"] > 1.0 else "xla"
+            else:
+                # a negative or sub-jitter marginal is dispatch noise, not a
+                # measurement — do not pick a winner from it
+                row["winner"] = "below-resolution"
         print(row, flush=True)
         out["cells"].append(row)
 
     wins = [c for c in out["cells"] if c.get("winner") == "pallas"]
+    unresolved = [c for c in out["cells"] if c.get("winner") == "below-resolution"]
     out["verdict"] = (
-        f"pallas wins {len(wins)}/{len(out['cells'])} cells"
+        f"pallas wins {len(wins)}/{len(out['cells']) - len(unresolved)} "
+        f"resolvable cells ({len(unresolved)} below-resolution)"
     )
-    path = pathlib.Path(__file__).resolve().parent.parent / "results" / "stft_settle_tpu.json"
     path.write_text(json.dumps(out, indent=1) + "\n")
     print("wrote", path, flush=True)
 
@@ -159,5 +194,13 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 5 and sys.argv[1] == "--cell":
         run_cell(int(sys.argv[2]), float(sys.argv[3]), sys.argv[4] == "1")
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--only":
+        # re-measure a subset, e.g. --only 4x30 16x30 (other cells keep
+        # their prior rows)
+        sel = []
+        for spec in sys.argv[2:]:
+            b, s = spec.split("x")
+            sel.append((int(b), float(s)))
+        main(only_cells=sel)
     else:
         main()

@@ -60,7 +60,7 @@ def _featurize(audio, audio_lengths, feat_cfg: FeatureConfig):
     )
 
     # VERDICT r3 item 5 settled: the fused Pallas STFT wins 6.8-13.6x in
-    # every measured cell (results/stft_settle_tpu.json), so 'auto' routes
+    # every resolvable cell (results/stft_settle_tpu.json), so 'auto' routes
     # the product train path through it on TPU for lane-aligned geometries.
     if resolve_featurizer_impl(feat_cfg) == "pallas":
         return make_featurizer(feat_cfg, use_pallas=True)(audio, audio_lengths)

