@@ -316,6 +316,7 @@ def cmd_parity(args) -> int:
             epochs=args.epochs, generations=args.generations,
             batch_size=args.batch_size, max_target_len=args.max_target_len,
             model_overrides=overrides,
+            streaming=args.streaming,
         )
     print(json.dumps(results))
     return 0
@@ -433,6 +434,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-mels", type=int, default=40)
     sp.add_argument("--tiny", action="store_true",
                     help="CI-scale model (synthetic-corpus smoke run)")
+    sp.add_argument("--streaming", action="store_true",
+                    help="speechcommands: stream train/unlabeled/mix splits "
+                         "(no RAM audio cache — reference-scale corpora)")
     sp.set_defaults(fn=cmd_parity)
 
     sp = sub.add_parser("benchmark", help="run bench.py")

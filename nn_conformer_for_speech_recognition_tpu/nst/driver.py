@@ -47,7 +47,12 @@ class GenerationResult:
 
 
 def _mix_dataset_like(supervised: BucketedDataset, utts) -> BucketedDataset:
-    return BucketedDataset(
+    # mirror the supervised dataset's class so a streaming supervised corpus
+    # yields a streaming mix (63k-scale NST would otherwise re-cache every
+    # clip in RAM); StreamingDataset shares the constructor signature
+    cls = type(supervised) if isinstance(supervised, BucketedDataset) \
+        else BucketedDataset
+    return cls(
         utts,
         supervised.vocab,
         supervised.batch_size,

@@ -104,38 +104,74 @@ def run_parity(
     ft_lr: float = 3e-6,
     max_target_len: int = 4,
     model_overrides: Optional[dict] = None,
+    streaming: bool = False,
     log=print,
 ) -> Dict:
-    """Run Base then NST under the reference protocol; return the table."""
+    """Run Base then NST under the reference protocol; return the table.
+
+    ``streaming=True`` routes the big splits (train, unlabeled, and every
+    NST mix) through `data/streaming.StreamingDataset` — no RAM audio cache,
+    bounded-queue producers — the configuration for reference-scale corpora
+    (SpeechCommands is 63,340 train clips, `main.ipynb` cell 33); per-stage
+    wall-clock and peak-RSS land in the returned ``stages`` dict."""
+    import resource
+    import time as _time
+
     from nn_conformer_for_speech_recognition_tpu import config as C
     from nn_conformer_for_speech_recognition_tpu.data.datasets import (
         BucketedDataset,
         load_manifest,
+    )
+    from nn_conformer_for_speech_recognition_tpu.data.streaming import (
+        StreamingDataset,
     )
     from nn_conformer_for_speech_recognition_tpu.data.vocab import build_vocab
     from nn_conformer_for_speech_recognition_tpu.models.asr import ConformerCTC
     from nn_conformer_for_speech_recognition_tpu.nst.driver import run_nst
     from nn_conformer_for_speech_recognition_tpu.train.loop import Trainer
 
+    stages: Dict[str, Dict] = {}
+
+    def _stage(name):
+        class _S:
+            def __enter__(self):
+                self.t0 = _time.perf_counter()
+                return self
+
+            def __exit__(self, *exc):
+                stages[name] = {
+                    "wall_s": round(_time.perf_counter() - self.t0, 1),
+                    "max_rss_mb": round(
+                        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+                    ),
+                }
+        return _S()
+
     os.makedirs(work_dir, exist_ok=True)
     # protocol fidelity against the committed artifact (35 commands+specials)
     assert_reference_vocab_roundtrip(REFERENCE_WORD_VOCAB, log=log)
     feat_cfg = C.FeatureConfig(normalize="minmax")  # n_mels=40, hop=512 defaults
-    manifests = {
-        s: load_manifest(os.path.join(manifest_dir, f"{s}.tsv"))
-        for s in ("train", "validation", "test", "unlabeled")
-        if os.path.exists(os.path.join(manifest_dir, f"{s}.tsv"))
-    }
+    with _stage("load_manifests"):
+        manifests = {
+            s: load_manifest(os.path.join(manifest_dir, f"{s}.tsv"))
+            for s in ("train", "validation", "test", "unlabeled")
+            if os.path.exists(os.path.join(manifest_dir, f"{s}.tsv"))
+        }
     vocab = build_vocab(
         "word", [u.transcript for u in manifests["train"] if u.labeled]
     )
 
-    def mk(utts):
-        return BucketedDataset(
+    def mk(utts, big=False):
+        cls = StreamingDataset if (streaming and big) else BucketedDataset
+        return cls(
             utts, vocab, batch_size, max_target_len=max_target_len
         )
 
-    dss = {s: mk(u) for s, u in manifests.items()}
+    with _stage("build_datasets"):
+        dss = {
+            s: mk(u, big=s in ("train", "unlabeled"))
+            for s, u in manifests.items()
+        }
 
     mcfg = C.reference_parity(**(model_overrides or {}))
     model = ConformerCTC(mcfg, vocab_size=len(vocab))
@@ -149,14 +185,17 @@ def run_parity(
     trainer.init_state(seed=0)
 
     log(f"[parity] supervised training: {epochs} epochs (runner.py:102-182)")
-    trainer.train(dss["train"], epochs, val_dataset=dss.get("validation"))
+    with _stage("supervised_train"):
+        trainer.train(dss["train"], epochs, val_dataset=dss.get("validation"))
     results: Dict = {"protocol": "reference-parity", "epochs": epochs,
-                     "generations": generations, "wer": {}}
+                     "generations": generations,
+                     "streaming": streaming, "wer": {}}
     base = {}
-    for split in ("validation", "test"):
-        if split in dss:
-            _, w = trainer.evaluate(dss[split], wer_protocol="padded")
-            base["val" if split == "validation" else "test"] = round(100 * w, 2)
+    with _stage("base_eval"):
+        for split in ("validation", "test"):
+            if split in dss:
+                _, w = trainer.evaluate(dss[split], wer_protocol="padded")
+                base["val" if split == "validation" else "test"] = round(100 * w, 2)
     results["wer"]["base"] = base
     trainer.save(os.path.join(work_dir, "base_ckpt"))
 
@@ -172,16 +211,19 @@ def run_parity(
             model, vocab, feat_cfg, train_cfg, learning_rate=ft_lr, log_fn=log
         )
         nst_trainer.state = trainer.state
-        run_nst(nst_trainer, dss["train"], dss["unlabeled"], ncfg,
-                val_dataset=dss.get("validation"), work_dir=work_dir)
+        with _stage("nst"):
+            run_nst(nst_trainer, dss["train"], dss["unlabeled"], ncfg,
+                    val_dataset=dss.get("validation"), work_dir=work_dir)
         nst = {}
-        for split in ("validation", "test"):
-            if split in dss:
-                _, w = nst_trainer.evaluate(dss[split], wer_protocol="padded")
-                nst["val" if split == "validation" else "test"] = round(100 * w, 2)
+        with _stage("nst_eval"):
+            for split in ("validation", "test"):
+                if split in dss:
+                    _, w = nst_trainer.evaluate(dss[split], wer_protocol="padded")
+                    nst["val" if split == "validation" else "test"] = round(100 * w, 2)
         results["wer"]["nst"] = nst
         nst_trainer.save(os.path.join(work_dir, "nst_ckpt"))
 
+    results["stages"] = stages
     results["reference"] = REFERENCE_TABLE
     table = format_table(results)
     log(table)
