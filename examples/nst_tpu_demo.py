@@ -178,6 +178,9 @@ def relabel(state):
 ft_tx = make_optimizer(C.OptimizerConfig(learning_rate=1e-4))
 state = TrainState.create(state.params, state.batch_stats, ft_tx, jax.random.key(7))
 results = []
+gen_states = []  # (val_wer, gen, state) — no donation in train_step, so
+                 # holding past states is safe; best-of-generations is the
+                 # reference's reporting convention (main.ipynb cell 44)
 prev_pseudo, prev_keep = None, None
 for gen in range(3):
     pseudo, keep, label_acc = relabel(state)
@@ -192,14 +195,22 @@ for gen in range(3):
     state = run_epochs(state, mix_idx, mixed_labels, epochs=GEN_EPOCHS, seed0=100+10*gen)
     vl, vw = evaluate(state, "val")
     log(f"gen {gen}: val wer {100*vw:.2f}")
+    gen_states.append((vw, gen, state))
     results.append({"gen": gen, "val_wer": 100*vw, "kept": int(keep.sum()),
                     "label_acc": round(100*label_acc, 2),
                     "labels_changed_vs_prev": changed})
 
+# best-generation selection (VERDICT r4 item 6 / nst.driver.run_nst
+# semantics): the headline NST number is the BEST generation's, with the
+# honest per-generation table kept alongside
+best_vw, best_gen, state = min(gen_states, key=lambda t: (t[0], t[1]))
+for r in results:
+    r["is_best"] = r["gen"] == best_gen
 nl, nw = evaluate(state, "val"); ntl, ntw = evaluate(state, "test")
-log(f"NST  val wer {100*nw:.2f} test wer {100*ntw:.2f}")
+log(f"NST best gen {best_gen}: val wer {100*nw:.2f} test wer {100*ntw:.2f}")
 summary = {"base": {"val_wer": 100*bw, "test_wer": 100*tw},
-           "nst": {"val_wer": 100*nw, "test_wer": 100*ntw, "generations": results},
+           "nst": {"val_wer": 100*nw, "test_wer": 100*ntw,
+                   "best_generation": best_gen, "generations": results},
            "sup_epochs": SUP_EPOCHS, "gen_epochs": GEN_EPOCHS, "n_sup": N_SUP,
            "wall_s": round(time.time()-T0,1)}
 out_name = "results/nst_demo_cpu_dryrun.json" if os.environ.get("NST_DEMO_CPU") \
