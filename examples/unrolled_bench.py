@@ -189,11 +189,20 @@ def run_inline(k1: int, k2: int) -> None:
     loss_val = None
     for k in (k1, k2):
         fn = make_unrolled(k)
-        t0 = time.perf_counter()
-        _, loss_val = timed_fetch(fn, state)
-        out[f"unrolled{k}_compile_s"] = round(time.perf_counter() - t0, 1)
+        for attempt in range(3):
+            try:
+                t0 = time.perf_counter()
+                _, loss_val = timed_fetch(fn, state)
+                out[f"unrolled{k}_compile_s"] = round(time.perf_counter() - t0, 1)
+                break
+            except Exception as e:  # transient remote-compile tunnel flake
+                print(f"[unrolled] k={k} attempt {attempt} failed: {e}",
+                      file=sys.stderr, flush=True)
+                if attempt == 2:
+                    raise
+                time.sleep(60)
         print(f"[unrolled] k={k} compile+first {out[f'unrolled{k}_compile_s']}s",
-              flush=True)
+              file=sys.stderr, flush=True)
         ts = [timed_fetch(fn, state)[0] for _ in range(REPEATS)]
         runs[k] = min(ts)
         out[f"unrolled{k}_s"] = round(min(ts), 4)
@@ -212,7 +221,7 @@ def run_inline(k1: int, k2: int) -> None:
         float(last)
     stats = trace_device_stats(trace_dir, hlo_text, n_steps=k2)
     out["unrolled_trace"] = stats
-    print("[unrolled] trace:", json.dumps(stats), flush=True)
+    print("[unrolled] trace:", json.dumps(stats), file=sys.stderr, flush=True)
 
     # --- the production two-dispatch path: hostloop marginal + device trace ---
     aug_j = jax.jit(augment)
@@ -238,7 +247,7 @@ def run_inline(k1: int, k2: int) -> None:
         _, st = host_chain(st, n_trace)
     stats2 = trace_device_stats(trace_dir2, None, n_steps=n_trace)
     out["dispatched_trace"] = stats2
-    print("[dispatched] trace:", json.dumps(stats2), flush=True)
+    print("[dispatched] trace:", json.dumps(stats2), file=sys.stderr, flush=True)
 
     frames = feat_cfg.num_frames(n_samp)
     flops = train_step_flops(mcfg, len(vocab), B, frames)
@@ -250,20 +259,21 @@ def run_inline(k1: int, k2: int) -> None:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--k1", type=int, default=3)
-    ap.add_argument("--k2", type=int, default=12)
+    ap.add_argument("--k1", type=int, default=2)
+    ap.add_argument("--k2", type=int, default=8)
     ap.add_argument("--inline", action="store_true")
     ns = ap.parse_args()
     if ns.inline:
         run_inline(ns.k1, ns.k2)
         return
+    # stderr inherits (live progress in the parent log); stdout carries the
+    # result JSON
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--inline",
          "--k1", str(ns.k1), "--k2", str(ns.k2)],
-        capture_output=True, text=True, timeout=7200,
+        stdout=subprocess.PIPE, text=True, timeout=10800,
         env=dict(os.environ),
     )
-    sys.stderr.write(p.stdout[-4000:] + p.stderr[-4000:])
     lines = [l for l in p.stdout.splitlines() if l.startswith("{\"variant\"")]
     if p.returncode != 0 or not lines:
         raise SystemExit(f"worker failed rc={p.returncode}")
