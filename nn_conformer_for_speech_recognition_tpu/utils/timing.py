@@ -95,35 +95,45 @@ def adaptive_scan_marginal_ms(
     max_n: int = 4000,
     repeats: int = 3,
 ) -> Tuple[float, Dict[str, float]]:
-    """``scan_marginal_ms`` with scan lengths sized from a probe run so the
-    measured wall delta is ~``target_s`` — required for sub-millisecond
-    steps, where fixed N=5/25 scans yield deltas inside dispatch jitter
-    (negative marginals were recorded that way).  Returns the same
-    (ms, details); ``details['resolvable']`` is False when even the adapted
-    scan could not push the delta past ``MIN_RESOLVABLE_DELTA_S``."""
+    """``scan_marginal_ms`` with scan lengths sized so the measured wall
+    delta actually clears ``MIN_RESOLVABLE_DELTA_S`` — required for
+    sub-millisecond steps, where fixed N=5/25 scans yield deltas inside
+    dispatch jitter (negative marginals were recorded that way).
+
+    A single probe-based sizing is NOT enough on the tunnel: the probe wall
+    time is dispatch-dominated for fast steps, so the per-iteration estimate
+    comes out ~100x too high and the sized scan still lands under the
+    resolution bound (that is how results/matmul_floor_tpu.json's
+    ffn_shape cells ended up resolvable=false).  This version ITERATES:
+    after each measurement, if the delta is below ``target_s/2`` and the
+    scan length can still grow, it rescales n2 from the *measured* delta
+    and re-measures.  Scan length does not affect compile time (the loop
+    bound is a constant in one compiled program), only run time.
+
+    Returns the same (ms, details); ``details['resolvable']`` is False when
+    even the longest allowed scan could not push the delta past
+    ``MIN_RESOLVABLE_DELTA_S``."""
     import math
 
-    def make(n):
-        @jax.jit
-        def f(c):
-            def body(c, _):
-                return step_fn(c), None
-            c, _ = jax.lax.scan(body, c, None, length=n)
-            return _carry_scalar(c)
-        return f
-
-    probe = make(n1_probe)
-    t0 = time.time()
-    float(probe(init_carry))  # compile + first run
-    probe_compile_s = time.time() - t0
-    t0 = time.perf_counter()
-    float(probe(init_carry))
-    est = max((time.perf_counter() - t0) / n1_probe, 1e-6)
-    n2 = int(min(max(25, math.ceil(target_s / est)), max_n))
-    n1 = max(n1_probe, n2 // 5)
-    ms, details = scan_marginal_ms(step_fn, init_carry, n1=n1, n2=n2,
-                                   repeats=repeats)
-    details["probe_compile_s"] = round(probe_compile_s, 1)
+    probe_compile_s = None
+    n2 = max(25, 5 * n1_probe)
+    n1 = n1_probe
+    ms, details = None, {}
+    for _ in range(4):
+        t0 = time.time()
+        ms, details = scan_marginal_ms(step_fn, init_carry, n1=n1, n2=n2,
+                                       repeats=repeats)
+        if probe_compile_s is None:
+            probe_compile_s = details.get(f"compile_s_n{n1}", 0.0)
+        delta = details["delta_s"]
+        if delta >= target_s / 2 or n2 >= max_n:
+            break
+        # rescale from the measured delta (true marginal signal), not from
+        # wall time (dispatch-polluted); guard against non-positive deltas
+        per_iter = max(delta, MIN_RESOLVABLE_DELTA_S / 10) / (n2 - n1)
+        n2 = int(min(max(n2 * 4, math.ceil(target_s / per_iter)), max_n))
+        n1 = max(n1_probe, n2 // 5)
+    details["probe_compile_s"] = round(probe_compile_s or 0.0, 1)
     details["n1"], details["n2"] = n1, n2
     details["resolvable"] = bool(
         ms > 0 and details["delta_s"] >= MIN_RESOLVABLE_DELTA_S
