@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from nn_conformer_for_speech_recognition_tpu.utils.rng import dropout_key
+
 from nn_conformer_for_speech_recognition_tpu.config import LMConfig, MeshConfig
 from nn_conformer_for_speech_recognition_tpu.models.lm import TransformerLM
 from nn_conformer_for_speech_recognition_tpu.parallel import mesh as pmesh
@@ -58,6 +60,7 @@ class LMTrainer:
 
         def train_step(state: TrainState, src, slen, tgt, tlen):
             rng, do_rng = jax.random.split(state.rng)
+            do_rng = dropout_key(do_rng)  # TPU hardware RNG (utils/rng.py)
             src_mask = jnp.arange(src.shape[1])[None, :] < slen[:, None]
             tgt_mask = jnp.arange(tgt.shape[1])[None, :] < tlen[:, None]
             # teacher forcing: input = <pad>-shifted target, label = target

@@ -51,6 +51,7 @@ from nn_conformer_for_speech_recognition_tpu.parallel import mesh as pmesh
 from nn_conformer_for_speech_recognition_tpu.train import metrics as M
 from nn_conformer_for_speech_recognition_tpu.train.optim import make_optimizer
 from nn_conformer_for_speech_recognition_tpu.train.state import TrainState
+from nn_conformer_for_speech_recognition_tpu.utils.rng import dropout_key
 
 
 def _featurize(audio, audio_lengths, feat_cfg: FeatureConfig):
@@ -137,6 +138,10 @@ def make_feature_train_step(
 
     def train_step(state: TrainState, feats, frame_lengths, targets, target_lengths):
         rng, _, do_rng, _ = jax.random.split(state.rng, 4)
+        # hardware-RNG dropout on TPU: threefry mask generation alone cost
+        # ~11 ms of the 34 ms Conformer-M step (results/ffn_probe_tpu.json;
+        # utils/rng.py).  One conversion here re-keys every nn.Dropout.
+        do_rng = dropout_key(do_rng)
 
         def loss_fn(params):
             (log_probs, out_lengths), updates = model.apply(
