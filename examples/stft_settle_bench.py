@@ -64,59 +64,39 @@ def run_cell(b: int, seconds: float, use_pallas: bool) -> None:
     audio = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32) * 0.1)
     alen = jnp.full((b,), n, jnp.int32)
 
-    out_shape = None
+    from nn_conformer_for_speech_recognition_tpu.utils.timing import (
+        adaptive_scan_marginal_ms,
+    )
 
-    def step(c, _):
+    def step(c):
         feats, _fl = fn(audio + c, alen)
-        return jnp.mean(feats) * 1e-12, None
+        return jnp.mean(feats) * 1e-12
 
-    def make_scan(n_iter):
-        @jax.jit
-        def scan_fn(c0):
-            c, _ = jax.lax.scan(step, c0, None, length=n_iter)
-            return c
-        return scan_fn
-
-    c0 = jnp.float32(0.0)
-    # probe to size the scans: sub-ms cells need hundreds of iterations or
-    # the marginal is dispatch-noise (it measured NEGATIVE at B=4/30 s)
-    probe = make_scan(N1)
+    # iterative adaptive sizing (utils/timing.py): a single probe-based
+    # sizing is dispatch-dominated for the sub-ms cells (this bench once
+    # recorded a NEGATIVE marginal at B=4/30 s, then an unresolvable 188-
+    # iteration scan); the helper grows n2 from each round's measured delta
+    # until the wall delta clears the jitter bound.  The fastest cell here
+    # (~0.05 ms) needs n2 ~ 20k for a ~1 s delta.
     t0 = time.time()
-    float(probe(c0))
-    compile_s = time.time() - t0
-    t0 = time.perf_counter()
-    float(probe(c0))
-    est = max((time.perf_counter() - t0) / N1, 1e-5)
-    n2 = int(min(max(N2, 1.0 / est), 4000))
-    n1 = max(N1, n2 // 5)
-    scans = {}
-    for n_iter in (n1, n2):
-        sf = make_scan(n_iter)
-        t0 = time.time()
-        float(sf(c0))  # compile + run; value fetch
-        compile_s += time.time() - t0
-        ts = []
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            float(sf(c0))
-            ts.append(time.perf_counter() - t0)
-        scans[n_iter] = min(ts)
-    delta_s = scans[n2] - scans[n1]
-    dt = delta_s / (n2 - n1)
+    ms, det = adaptive_scan_marginal_ms(
+        step, jnp.float32(0.0), target_s=1.0, max_n=30000
+    )
+    compile_s = round(time.time() - t0, 1)  # incl. all sizing-round compiles
+    dt = ms / 1e3
     feats, _ = fn(audio, alen)
-    out_shape = list(feats.shape)
     print(json.dumps({
-        "ms": dt * 1e3,
+        "ms": ms,
         "protocol": "scan-marginal",
-        "n1": n1, "n2": n2,
-        # total wall delta between the two scans — the quantity the protocol
-        # actually resolves; if it is within dispatch/fetch jitter the
-        # per-iteration marginal is noise and the cell must be marked
-        # below-resolution, not scored (VERDICT r4 weak #1)
-        "delta_s": round(delta_s, 4),
+        "n1": det["n1"], "n2": det["n2"],
+        # total wall delta the marginal was derived from; resolvable=False
+        # cells must be marked below-resolution, not scored (VERDICT r4
+        # weak #1)
+        "delta_s": det["delta_s"],
+        "resolvable": det["resolvable"],
         "audio_s_per_s": b * seconds / dt,
-        "compile_s": round(compile_s, 1),
-        "out_shape": out_shape,
+        "compile_s": compile_s,
+        "out_shape": list(feats.shape),
     }), flush=True)
 
 

@@ -185,7 +185,15 @@ class DecoderConfig:
 # so the XLA einsum path (a handful of fused ops) is faster; above it the
 # einsum's materialised (B,H,T,T) scores lose on HBM traffic and, in the
 # backward, OOM around T=4096 while flash runs to T=16384.
-FLASH_ATTENTION_MIN_T = 1024
+# 768 is MEASURED, not guessed (results/flash_crossover_tpu.json, round 5):
+# one RelPositionMHSA sublayer fwd+bwd, Conformer-M geometry, bf16, B=16,
+# scan-marginal with resolvable deltas at every cell —
+#   T:     256   384   512   640   768   896
+#   xla:  0.38  1.21  4.08  6.37  12.4  16.0  ms
+#   flash: 1.19  2.61  4.54  7.10  10.2  14.0  ms
+# XLA wins through 640; flash wins from 768 on.  (Supersedes the round-4
+# placeholder 1024, which provably mis-routed T in [768, 1023].)
+FLASH_ATTENTION_MIN_T = 768
 
 
 @_frozen
