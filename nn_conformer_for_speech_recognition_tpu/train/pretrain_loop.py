@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from nn_conformer_for_speech_recognition_tpu.utils.rng import dropout_key
+
 from nn_conformer_for_speech_recognition_tpu.config import (
     FeatureConfig,
     MeshConfig,
