@@ -45,6 +45,13 @@ CELLS = {
     "t235_nodrop": dict(t=235, dropout=False, ln=True, bwd=True),
     "t235_dotsonly": dict(t=235, dropout=False, ln=False, bwd=True),
     "t235_fwd": dict(t=235, dropout=True, ln=True, bwd=False),
+    # second pass (dropout identified as ~11 of the 14 ms): does the TPU
+    # hardware RNG path (rbg keys -> XLA RngBitGenerator instead of ~20
+    # VPU ops/element of threefry) recover the no-dropout rate?
+    "t235_rbg": dict(t=235, dropout=True, ln=True, bwd=True, rbg=True),
+    "t235_nodrop_r2": dict(t=235, dropout=False, ln=True, bwd=True,
+                           adaptive=True),
+    "t235_rbg_fwd": dict(t=235, dropout=True, ln=True, bwd=False, rbg=True),
 }
 
 
@@ -72,6 +79,7 @@ def run_cell(name: str) -> None:
         FeedForwardModule,
     )
     from nn_conformer_for_speech_recognition_tpu.utils.timing import (
+        adaptive_scan_marginal_ms,
         scan_marginal_ms,
     )
 
@@ -109,7 +117,9 @@ def run_cell(name: str) -> None:
         x, deterministic,
     )["params"]
 
-    base_key = jax.random.key(2)  # closed over; carry holds a plain counter
+    # closed over; carry holds a plain counter.  'rbg' keys draw their bits
+    # from XLA RngBitGenerator (TPU hardware RNG) instead of threefry
+    base_key = jax.random.key(2, impl="rbg" if spec.get("rbg") else None)
     if spec["bwd"]:
         def step(carry):
             p, i = carry
@@ -137,7 +147,10 @@ def run_cell(name: str) -> None:
             return x_c + 1e-6 * out.astype(x_c.dtype), i + 1
         carry0 = (x, jnp.int32(0))
 
-    ms, details = scan_marginal_ms(step, carry0, n1=5, n2=25)
+    if spec.get("adaptive"):
+        ms, details = adaptive_scan_marginal_ms(step, carry0, target_s=1.0)
+    else:
+        ms, details = scan_marginal_ms(step, carry0, n1=5, n2=25)
     m = B * t
     dots = 6 if spec["bwd"] else 2  # fwd 2, bwd dgrad+wgrad per dot
     flops = N_MODULES * dots * 2 * m * D_MODEL * FFN_DIM
