@@ -110,9 +110,12 @@ def run_worker():
     feat_cfg = C.FeatureConfig()
     # shape-aware auto routing (round 4): at this config's T=235 that is XLA
     # einsum attention + XLA depthwise + Pallas fused LSTM/CTC, no remat —
-    # 11.2 ms/step vs 69 ms for the round-3 all-Pallas+remat construction
-    # (results/timing_audit_tpu.json m_auto_bf16 vs m_bf16).  This is the
-    # timing-audit `m_auto_fence_bf16` variant, bit-for-bit.
+    # 34 ms/step vs 69 ms for the round-3 all-Pallas+remat construction
+    # (results/timing_audit_tpu.json; the 11.2 ms "fast mode" recorded there
+    # was a measurement artifact — a stalled short leg deflating the
+    # hostloop marginal, see results/compile_roll_tpu.json).  Round 5's
+    # hardware-RNG dropout (utils/rng.py) takes the same construction to
+    # 23.5 ms.  This is the timing-audit `m_auto_fence_bf16` variant.
     mcfg = C.conformer_m(
         compute_dtype="bfloat16",
         use_pallas=True,
