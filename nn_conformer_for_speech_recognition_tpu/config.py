@@ -55,11 +55,11 @@ class FeatureConfig:
     # featurizer compute impl: 'auto' | 'xla' (fused matmul-DFT log-mel) |
     # 'pallas' (ops/pallas/stft_logmel.py). auto = pallas on the TPU backend
     # when the geometry is lane-aligned (hop and n_fft % 128 == 0): the
-    # fused kernel wins 6.8-13.6x in every cell the protocol can resolve
-    # (results/stft_settle_tpu.json, scan-marginal, adaptive lengths; cells
-    # whose marginals sit below the ~0.45 ms dispatch noise floor are marked
-    # below-resolution rather than scored — the round-1 "pallas loses for
-    # short clips" claim was a dispatch-rate artifact).
+    # fused kernel wins 5.1-13.6x in all 5 measured cells, each with a
+    # resolvable wall delta (results/stft_settle_tpu.json, scan-marginal
+    # with iterative-adaptive lengths — the B=4/30s cell needed a ~16k-iter
+    # scan (delta 0.79 s) to clear the jitter bound; the round-1 "pallas loses for short
+    # clips" claim was a dispatch-rate artifact).
     impl: str = "auto"
 
     @property
