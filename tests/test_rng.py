@@ -82,3 +82,38 @@ def test_rbg_key_drives_flax_dropout_under_jit():
     # roughly half the activations dropped
     frac_zero = float(jnp.mean((y1 == 0).astype(jnp.float32)))
     assert 0.2 < frac_zero < 0.8
+
+
+def test_rbg_dropout_under_device_mesh():
+    """The real multichip TPU path: rbg keys inside a GSPMD-sharded step.
+
+    XLA's RngBitGenerator must partition (or legally replicate) under
+    pjit — run a dropout model with a batch-sharded input over a mesh and
+    require a finite, correctly-shaped result.  (The full DP x TP train
+    step with rbg forced is exercised by __graft_entry__.dryrun_multichip;
+    this is the minimal in-suite pin.)
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic):
+            x = nn.Dense(32)(x)
+            return nn.Dropout(0.3)(x, deterministic=deterministic)
+
+    devices = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devices, ("data",))
+    m = M()
+    x = jnp.ones((8, 16))
+    params = m.init({"params": jax.random.key(0)}, x, True)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+
+    @jax.jit
+    def apply(p, xb, key):
+        return m.apply(p, xb, False, rngs={"dropout": dropout_key(key, impl="rbg")})
+
+    y = apply(params, xs, jax.random.key(3))
+    assert y.shape == (8, 32)
+    assert np.isfinite(np.asarray(y)).all()
+    frac_zero = float(jnp.mean((y == 0).astype(jnp.float32)))
+    assert 0.05 < frac_zero < 0.6
