@@ -25,10 +25,16 @@ import jax.numpy as jnp
 
 
 def _carry_scalar(carry) -> jnp.ndarray:
-    """A cheap f32 scalar that depends on every leaf of the carry."""
+    """A cheap f32 scalar that depends on every leaf of the carry.
+
+    Typed PRNG keys (e.g. a TrainState.rng) cannot convert to f32
+    directly — fold their raw uint32 key data instead."""
     total = jnp.float32(0.0)
     for leaf in jax.tree.leaves(carry):
-        total = total + jnp.sum(jnp.asarray(leaf).astype(jnp.float32)) * 1e-12
+        leaf = jnp.asarray(leaf)
+        if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            leaf = jax.random.key_data(leaf)
+        total = total + jnp.sum(leaf.astype(jnp.float32)) * 1e-12
     return total
 
 
