@@ -33,10 +33,18 @@ B = 16
 V = 1024
 L_TGT = 100
 SR = 16000
+# Both arms pin lstm_impl='xla': the probe measures the ENCODER memory
+# boundary (flash-bwd O(T) vs einsum, remat on/off).  The Pallas LSTM
+# kernel VMEM-caps first at L sizes — 19.77M scoped vs the 16M limit at
+# B=16/240 s (T'=1875), recorded on the first run of this probe — which
+# would otherwise mask the encoder behavior at every point >=240 s; the
+# product escape hatch for long-form decoding is exactly this
+# lstm_impl='xla' routing knob.
 ARMS = {
-    "noremat_auto": dict(mk=dict(use_pallas=True, remat=False)),
+    "noremat_auto": dict(mk=dict(use_pallas=True, remat=False,
+                                 lstm_impl="xla")),
     "remat_flash": dict(mk=dict(use_pallas=True, attention_impl="flash",
-                                remat=True)),
+                                remat=True, lstm_impl="xla")),
 }
 SECONDS = [120.0, 240.0, 480.0, 960.0]
 
