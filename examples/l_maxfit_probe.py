@@ -149,8 +149,14 @@ def main():
                 rows[(arm, seconds)] = json.loads(lines[-1])
             else:
                 err = p.stdout + p.stderr
+                # the XLA allocation-failure dump can be longer than the
+                # captured tail, cutting off the "RESOURCE_EXHAUSTED"
+                # header — its buffer-table markers identify it just as
+                # well ("Allocation type: HLO temp" ranked-buffer lines
+                # only appear in allocation-failure reports)
                 oom = "RESOURCE_EXHAUSTED" in err or "Out of memory" in err \
-                    or "OOM" in err
+                    or "OOM" in err or "Allocation type: HLO temp" in err \
+                    or "Largest program allocations" in err
                 rows[(arm, seconds)] = {
                     "arm": arm, "B": B, "seconds": seconds, "fits": False,
                     "oom": oom,
